@@ -1,0 +1,279 @@
+"""Batched LM-DiskANN beam search as a single jitted fixed-point loop.
+
+TPU-native re-design of the reference's search path:
+
+  - core/Searcher.cpp:45-246 (``PerformSearch``): candidate beam + top set +
+    visited set, entry-point seed, pop-best loop, final re-rank
+  - libsql/vectordiskann.c:1283-1400 (``diskAnnSearchInternal``): the ground
+    truth this engine reproduces — per-visited-node *approximate* distances
+    to all edges from the in-block compressed vectors (:1370-1396), exact
+    distance recomputed only at visit time (:1366-1370). (The C++ Searcher
+    computes exact distances during traversal, flagged as a deviation in
+    SURVEY Appendix B; that behavior is available here as EdgeType.NONE.)
+
+Re-design, per SURVEY §7.1: pointer-chasing becomes batched frontier
+expansion. A whole batch of queries advances in lock-step inside one
+``lax.while_loop``; each iteration visits ONE node per query:
+
+    gather node rows -> score all R cached neighbor codes at once ->
+    masked sorted merge into the beam -> dedup via membership masks
+
+The priority queue becomes a (distance, slot)-sorted fixed-size beam; the
+per-query early exit becomes a convergence mask; heap pop order becomes the
+pinned deterministic tie-break (sort by (distance, slot) — SURVEY §7.3).
+
+Semantics contract (validated against tests/oracle.py, exact-ID match):
+  * beam insert-and-evict-worst == diskAnnSearchCtxInsertCandidate
+    (vectordiskann.c:1136-1148) under the pinned tie-break
+  * "skip if visited or already a candidate" == :1379 via membership masks
+  * termination when no unvisited candidate remains == :1325
+  * top-k = k best (exact_dist, slot) over *visited* nodes == the
+    aTopCandidates buffer (:1091-1110)
+  * zombie edges (deleted rows) are skipped via the ``valid`` mask at
+    candidate-insertion time; libSQL discovers them at blob-read time
+    (:1349-1354) because checking earlier would cost an I/O — on TPU the
+    validity gather is free, so we filter eagerly (deviation documented).
+
+Fixed bounds: the loop is capped at ``max_visits`` iterations and the
+visited buffer holds ``max_visits`` entries (XLA needs static shapes); the
+cap defaults to 4*L which is far above observed visit counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..common.types import EdgeType, MetricType
+from ..ops import topk as topk_ops
+from ..ops.distance import (
+    pairwise_distance,
+    query_to_neighbors_distance,
+    similarity_to_distance,
+)
+from ..ops.ternary import encode_ternary, ternary_dot
+from .graph import GraphArrays, GraphParams
+
+INF = jnp.float32(jnp.inf)
+
+
+class SearchResult(NamedTuple):
+    topk_slots: jnp.ndarray  # i32[B, K]  (-1 padded)
+    topk_dists: jnp.ndarray  # f32[B, K]  (+inf padded)
+    visited_slots: jnp.ndarray  # i32[B, V] in visit order (-1 padded)
+    visited_dists: jnp.ndarray  # f32[B, V] exact distances (+inf padded)
+    visited_count: jnp.ndarray  # i32[B]
+    hops: jnp.ndarray  # i32[] total loop iterations (tracing counter)
+
+
+class _BeamState(NamedTuple):
+    beam_dist: jnp.ndarray  # f32[B, L] sorted by (dist, slot)
+    beam_slot: jnp.ndarray  # i32[B, L] -1 = empty
+    beam_vis: jnp.ndarray  # bool[B, L]
+    vis_slot: jnp.ndarray  # i32[B, V]
+    vis_dist: jnp.ndarray  # f32[B, V]
+    vis_cnt: jnp.ndarray  # i32[B]
+    it: jnp.ndarray  # i32[]
+
+
+def _score_edges(
+    arrays: GraphArrays,
+    params: GraphParams,
+    cur: jnp.ndarray,  # i32[B] current node slots
+    queries: jnp.ndarray,  # f32[B, D]
+    q_pos: jnp.ndarray,
+    q_neg: jnp.ndarray,
+    nbrs: jnp.ndarray,  # i32[B, R]
+) -> jnp.ndarray:
+    """Approximate distances [B, R] from the visited nodes' cached edge codes
+    — the LM-DiskANN property: no second gather for frontier scoring
+    (vectordiskann.c:1370-1396)."""
+    et = params.edge_type
+    if et is EdgeType.TERNARY:
+        e_pos = arrays.edge_pos[cur]  # [B, R, W]
+        e_neg = arrays.edge_neg[cur]
+        sim = ternary_dot(
+            q_pos[:, None, :], q_neg[:, None, :], e_pos, e_neg
+        ).astype(jnp.float32)
+        return similarity_to_distance(sim, params.metric)
+    if et is EdgeType.INT8:
+        codes = arrays.edge_i8[cur]  # [B, R, D]
+        scale = arrays.edge_scale[cur]  # [B, R]
+        vecs = codes.astype(jnp.float32) * scale[..., None]
+        return query_to_neighbors_distance(queries, vecs, params.metric)
+    if et is EdgeType.FLOAT32:
+        return query_to_neighbors_distance(
+            queries, arrays.edge_f32[cur], params.metric
+        )
+    # EdgeType.NONE: exact traversal — gather the neighbors' own vectors
+    # (the C++ Searcher behavior, core/Searcher.cpp:168-173).
+    safe_nbrs = jnp.maximum(nbrs, 0)
+    vecs = arrays.vectors[safe_nbrs]  # [B, R, D]
+    return query_to_neighbors_distance(queries, vecs, params.metric)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "l_search", "k", "max_visits")
+)
+def beam_search(
+    arrays: GraphArrays,
+    queries: jnp.ndarray,  # f32[B, D]
+    entry_slot: jnp.ndarray,  # i32[] or i32[B]
+    *,
+    params: GraphParams,
+    l_search: int,
+    k: int,
+    max_visits: int = 0,
+) -> SearchResult:
+    """Batched beam search. Returns top-k and the visited set (the insert
+    path consumes visited, Searcher::SearchForInitialCandidates semantics)."""
+    B = queries.shape[0]
+    L = l_search
+    V = max_visits if max_visits > 0 else params.max_visits
+    queries = queries.astype(jnp.float32)
+    entry = jnp.broadcast_to(jnp.asarray(entry_slot, jnp.int32), (B,))
+
+    if params.edge_type is EdgeType.TERNARY:
+        q_pos, q_neg = encode_ternary(queries)
+    else:  # placeholders keep the pytree static
+        q_pos = q_neg = jnp.zeros((B, 1), jnp.uint32)
+
+    # --- Seed: entry point with exact distance (vectordiskann.c:1306-1322).
+    entry_ok = (entry >= 0) & arrays.valid[jnp.maximum(entry, 0)]
+    seed_vec = arrays.vectors[jnp.maximum(entry, 0)]
+    seed_dist = pairwise_distance(queries, seed_vec, params.metric)
+    beam_dist = jnp.full((B, L), INF).at[:, 0].set(jnp.where(entry_ok, seed_dist, INF))
+    beam_slot = (
+        jnp.full((B, L), -1, jnp.int32)
+        .at[:, 0]
+        .set(jnp.where(entry_ok, entry, -1))
+    )
+    state = _BeamState(
+        beam_dist=beam_dist,
+        beam_slot=beam_slot,
+        beam_vis=jnp.zeros((B, L), jnp.bool_),
+        vis_slot=jnp.full((B, V), -1, jnp.int32),
+        vis_dist=jnp.full((B, V), INF),
+        vis_cnt=jnp.zeros((B,), jnp.int32),
+        it=jnp.int32(0),
+    )
+
+    def has_unvisited(s: _BeamState) -> jnp.ndarray:
+        return (~s.beam_vis) & (s.beam_slot >= 0)
+
+    def cond(s: _BeamState) -> jnp.ndarray:
+        return jnp.any(has_unvisited(s)) & (s.it < V)
+
+    def body(s: _BeamState) -> _BeamState:
+        unvis = has_unvisited(s)  # [B, L]
+        active = jnp.any(unvis, axis=-1)  # [B]
+        # Beam is sorted, so the first unvisited entry is the closest
+        # unvisited candidate (diskAnnSearchCtxFindClosestCandidateIdx,
+        # vectordiskann.c:1152-1167).
+        idx = jnp.argmax(unvis, axis=-1)  # [B]
+        cur = jnp.take_along_axis(s.beam_slot, idx[:, None], axis=-1)[:, 0]
+        cur = jnp.where(active, cur, 0)
+
+        # Visit: exact distance to the node's full-precision vector
+        # (vectordiskann.c:1366-1370).
+        node_vec = arrays.vectors[cur]  # [B, D]
+        exact = pairwise_distance(queries, node_vec, params.metric)
+
+        # Mark the beam entry visited.
+        beam_vis = s.beam_vis | (
+            jax.nn.one_hot(idx, L, dtype=jnp.bool_) & active[:, None]
+        )
+
+        # Append to the visited log (one-hot scatter at vis_cnt).
+        at_cnt = (
+            jnp.arange(V, dtype=jnp.int32)[None, :] == s.vis_cnt[:, None]
+        ) & active[:, None]
+        vis_slot = jnp.where(at_cnt, cur[:, None], s.vis_slot)
+        vis_dist = jnp.where(at_cnt, exact[:, None], s.vis_dist)
+        vis_cnt = s.vis_cnt + active.astype(jnp.int32)
+
+        # Frontier: all R neighbor slots + their cached codes in ONE row.
+        nbrs = arrays.neighbors[cur]  # [B, R]
+        nbr_live = (nbrs >= 0) & arrays.valid[jnp.maximum(nbrs, 0)]
+        edge_dist = _score_edges(arrays, params, cur, queries, q_pos, q_neg, nbrs)
+
+        # Skip neighbors already in the beam or already visited
+        # (vectordiskann.c:1379).
+        in_beam = jnp.any(
+            (nbrs[:, :, None] == s.beam_slot[:, None, :])
+            & (s.beam_slot >= 0)[:, None, :],
+            axis=-1,
+        )
+        in_vis = jnp.any(
+            (nbrs[:, :, None] == vis_slot[:, None, :])
+            & (vis_slot >= 0)[:, None, :],
+            axis=-1,
+        )
+        cand_ok = nbr_live & ~in_beam & ~in_vis & active[:, None]
+        cand_dist = jnp.where(cand_ok, edge_dist, INF)
+        cand_slot = jnp.where(cand_ok, nbrs, -1)
+
+        # Sorted merge, keep best L: insert-and-evict-worst for the whole
+        # edge set at once (vectordiskann.c:1136-1148 + :1077-1088).
+        new_dist, new_slot, new_vis = topk_ops.merge_beams(
+            s.beam_dist,
+            s.beam_slot,
+            cand_dist,
+            cand_slot,
+            L,
+            extras_a=(beam_vis.astype(jnp.int32),),
+            extras_b=(jnp.zeros_like(cand_slot),),
+        )
+        # Entries that sorted to +inf are empty; normalize their slot to -1.
+        new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)
+
+        return _BeamState(
+            beam_dist=new_dist,
+            beam_slot=new_slot,
+            beam_vis=new_vis.astype(jnp.bool_),
+            vis_slot=vis_slot,
+            vis_dist=vis_dist,
+            vis_cnt=vis_cnt,
+            it=s.it + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # Final pass: top-k = k best (exact dist, slot) among visited nodes —
+    # the aTopCandidates buffer (vectordiskann.c:1091-1110) / the exact
+    # re-rank of Searcher.cpp:189-245 in one deterministic sort.
+    topk_dists, topk_slots = topk_ops.topk_by_distance(
+        final.vis_dist, final.vis_slot, k
+    )
+    return SearchResult(
+        topk_slots=topk_slots,
+        topk_dists=topk_dists,
+        visited_slots=final.vis_slot,
+        visited_dists=final.vis_dist,
+        visited_count=final.vis_cnt,
+        hops=final.it,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "l_insert"))
+def search_for_initial_candidates(
+    arrays: GraphArrays,
+    queries: jnp.ndarray,
+    entry_slot: jnp.ndarray,
+    *,
+    params: GraphParams,
+    l_insert: int,
+) -> SearchResult:
+    """Insert-path candidate search: beam search with L=k=L_insert
+    (Searcher::SearchForInitialCandidates, core/Searcher.cpp:275-294)."""
+    return beam_search(
+        arrays,
+        queries,
+        entry_slot,
+        params=params,
+        l_search=l_insert,
+        k=l_insert,
+    )

@@ -1,0 +1,261 @@
+"""Pure-NumPy oracle implementation of the LM-DiskANN algorithm.
+
+This is the executable specification the JAX/TPU engine is validated against
+— the role SURVEY §4 assigns to "graph-semantics tests against a NumPy/pure-
+JAX oracle implementing the libSQL algorithm".
+
+Semantics are pinned to the reference ground truth:
+
+  - beam search: diskAnnSearchInternal (libsql/vectordiskann.c:1283-1400):
+    sorted candidate array of capacity L, pick first unvisited, visit it
+    (exact distance into the top set), score its cached edge codes, insert
+    candidates evicting the worst; terminate when no unvisited candidate
+    remains in the beam.
+  - RobustPrune: GraphManager::RobustPrune (GraphManager.cpp:259-378):
+    distance-sort candidates, dedup by id, drop self, greedy alpha filter
+    "exists selected r with alpha * d(p, r) < d(node, p) => prune p", cap R.
+  - insert: GraphManager::AddNode (GraphManager.cpp:65-203): search for
+    L_insert candidates, RobustPrune to pick neighbors, then the reciprocal
+    interconnect pass re-pruning each chosen neighbor with the new node as a
+    candidate.
+  - delete: diskAnnDelete (vectordiskann.c:1626-1700): eagerly remove
+    back-edges from all neighbors, then drop the node.
+
+Deterministic tie-break everywhere: (distance, id) ascending — the pinned
+traversal spec (SURVEY §7.3) that both this oracle and the device engine
+implement so their results match exactly.
+
+Edge scoring uses the same cached-code approximation as the engine
+(ternary popcount dot or int8 dequantized exact), computed via the shared
+NumPy codecs, so approximate distances are bit-identical between oracle and
+device for identical inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType
+from duckdb_lm_diskann_tpu.ops.quantize import decode_int8_np, encode_int8_np
+from duckdb_lm_diskann_tpu.ops.ternary import encode_ternary_np, ternary_dot_np
+
+
+def exact_distance(a: np.ndarray, b: np.ndarray, metric: MetricType) -> float:
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if metric is MetricType.L2:
+        d = np.float32(np.sum((a - b) ** 2, dtype=np.float32))
+        return float(np.sqrt(max(d, np.float32(0.0))))
+    if metric is MetricType.IP:
+        return float(-np.dot(a, b))
+    if metric is MetricType.COSINE:
+        na = float(np.dot(a, a))
+        nb = float(np.dot(b, b))
+        if na <= 0.0 or nb <= 0.0:
+            return 1.0
+        cos = float(np.dot(a, b)) / (np.sqrt(na) * np.sqrt(nb))
+        return 1.0 - max(-1.0, min(1.0, cos))
+    raise ValueError(metric)
+
+
+class OracleGraph:
+    """Host-side LM-DiskANN graph with per-node cached edge codes."""
+
+    def __init__(self, dims: int, r: int, metric: MetricType,
+                 edge_type: EdgeType, alpha: float, l_insert: int,
+                 l_search: int):
+        self.dims = dims
+        self.r = r
+        self.metric = metric
+        self.edge_type = edge_type
+        self.alpha = alpha
+        self.l_insert = l_insert
+        self.l_search = l_search
+        self.vectors: dict[int, np.ndarray] = {}
+        self.neighbors: dict[int, list[int]] = {}
+        # Cached edge codes, parallel to neighbors: the self-contained-block
+        # property (one "block" = vector + neighbor ids + neighbor codes).
+        self.edge_codes: dict[int, list] = {}
+        self.entry_point: int | None = None
+
+    # --- edge code handling (the in-block compressed neighbor vectors) ---
+
+    def encode_edge(self, vec: np.ndarray):
+        if self.edge_type is EdgeType.TERNARY:
+            p, n = encode_ternary_np(vec[None, :])
+            return (p[0], n[0])
+        if self.edge_type is EdgeType.INT8:
+            c, s = encode_int8_np(vec[None, :])
+            return (c[0], s[0])
+        if self.edge_type in (EdgeType.FLOAT32, EdgeType.NONE):
+            return np.asarray(vec, np.float32).copy()
+        raise ValueError(self.edge_type)
+
+    def edge_distance(self, query: np.ndarray, code) -> float:
+        """Approximate distance from cached code — matches the device path."""
+        if self.edge_type is EdgeType.TERNARY:
+            qp, qn = encode_ternary_np(query[None, :])
+            sim = float(ternary_dot_np(qp[0], qn[0], code[0], code[1]))
+            if self.metric is MetricType.IP:
+                return -sim
+            if self.metric is MetricType.COSINE:
+                return 1.0 - sim
+            raise ValueError("ternary edges invalid for L2")
+        if self.edge_type is EdgeType.INT8:
+            vec = decode_int8_np(code[0][None, :], np.asarray([code[1]]))[0]
+            return exact_distance(query, vec, self.metric)
+        return exact_distance(query, code, self.metric)
+
+    # --- search (diskAnnSearchInternal, vectordiskann.c:1283-1400) ---
+
+    def search(self, query: np.ndarray, k: int, l_search: int | None = None,
+               entry: int | None = None):
+        """Returns (topk_ids, topk_dists, visited_ids_in_visit_order,
+        visited_exact_dists)."""
+        query = np.asarray(query, np.float32)
+        L = l_search or self.l_search
+        if entry is None:
+            entry = self.entry_point
+        if entry is None or entry not in self.vectors:
+            return [], [], [], []
+
+        # Beam: list of [dist, id, visited] kept sorted by (dist, id).
+        start_dist = exact_distance(query, self.vectors[entry], self.metric)
+        beam: list[list] = [[start_dist, entry, False]]
+        visited_ids: list[int] = []
+        visited_dists: list[float] = []
+        visited_set: set[int] = set()
+
+        while True:
+            cur = next((e for e in beam if not e[2]), None)
+            if cur is None:
+                break
+            dist, node, _ = cur
+            if node not in self.vectors:
+                # Zombie edge: candidate row no longer exists
+                # (vectordiskann.c:1349-1354) — drop it from the beam.
+                beam.remove(cur)
+                continue
+            cur[2] = True
+            # Exact distance at visit time (the aTopCandidates insert,
+            # vectordiskann.c:1366-1370).
+            exact = exact_distance(query, self.vectors[node], self.metric)
+            visited_ids.append(node)
+            visited_dists.append(exact)
+            visited_set.add(node)
+
+            beam_ids = {e[1] for e in beam}
+            for j, nbr in enumerate(self.neighbors[node]):
+                if nbr in visited_set or nbr in beam_ids:
+                    continue
+                code = self.edge_codes[node][j]
+                nd = self.edge_distance(query, code)
+                # Insert iff better than the current worst or beam not full
+                # (diskAnnSearchCtxShouldAddCandidate, :1077-1088); pinned
+                # tie-break: sort by (dist, id).
+                beam.append([nd, nbr, False])
+                beam.sort(key=lambda e: (e[0], e[1]))
+                if len(beam) > L:
+                    beam.pop()
+                beam_ids.add(nbr)
+
+        order = sorted(range(len(visited_ids)),
+                       key=lambda i: (visited_dists[i], visited_ids[i]))[:k]
+        return ([visited_ids[i] for i in order],
+                [visited_dists[i] for i in order],
+                visited_ids, visited_dists)
+
+    # --- RobustPrune (GraphManager.cpp:259-378) ---
+
+    def robust_prune(self, node_vec: np.ndarray, candidate_ids: list[int],
+                     self_id: int | None = None) -> list[int]:
+        cands = []
+        for cid in candidate_ids:
+            if cid == self_id or cid not in self.vectors:
+                continue
+            d = exact_distance(node_vec, self.vectors[cid], self.metric)
+            cands.append((d, cid))
+        cands.sort()
+        # dedup by id, keep first (GraphManager.cpp:302-305)
+        seen = set()
+        uniq = []
+        for d, cid in cands:
+            if cid not in seen:
+                seen.add(cid)
+                uniq.append((d, cid))
+        selected: list[int] = []
+        for d_node_p, p in uniq:
+            if len(selected) >= self.r:
+                break
+            pruned = False
+            for r_id in selected:
+                d_p_r = exact_distance(self.vectors[p], self.vectors[r_id],
+                                       self.metric)
+                if self.alpha * d_p_r < d_node_p:
+                    pruned = True
+                    break
+            if not pruned:
+                selected.append(p)
+        return selected
+
+    def _set_neighbors(self, node: int, nbr_ids: list[int]):
+        self.neighbors[node] = list(nbr_ids)
+        self.edge_codes[node] = [self.encode_edge(self.vectors[n])
+                                 for n in nbr_ids]
+
+    # --- insert (GraphManager::AddNode, GraphManager.cpp:65-203) ---
+
+    def insert(self, node_id: int, vec: np.ndarray):
+        vec = np.asarray(vec, np.float32)
+        self.vectors[node_id] = vec
+        if self.entry_point is None:
+            self.entry_point = node_id
+            self._set_neighbors(node_id, [])
+            return
+        # SearchForInitialCandidates: k = L_insert (Searcher.cpp:275-294);
+        # candidates = the search result (top-L_insert of visited).
+        cand_ids, _, _, _ = self.search(vec, self.l_insert,
+                                        l_search=self.l_insert)
+        nbrs = self.robust_prune(vec, cand_ids, self_id=node_id)
+        self._set_neighbors(node_id, nbrs)
+        # Reciprocal interconnect (GraphManager.cpp:161-200): re-prune each
+        # chosen neighbor with the new node as an extra candidate.
+        for nbr in nbrs:
+            cand = self.neighbors[nbr] + [node_id]
+            new_list = self.robust_prune(self.vectors[nbr], cand, self_id=nbr)
+            self._set_neighbors(nbr, new_list)
+
+    # --- delete (diskAnnDelete, vectordiskann.c:1626-1700) ---
+
+    def delete(self, node_id: int):
+        if node_id not in self.vectors:
+            return
+        for nbr in list(self.neighbors.get(node_id, [])):
+            if nbr in self.neighbors and node_id in self.neighbors[nbr]:
+                idx = self.neighbors[nbr].index(node_id)
+                self.neighbors[nbr].pop(idx)
+                self.edge_codes[nbr].pop(idx)
+        del self.vectors[node_id]
+        del self.neighbors[node_id]
+        del self.edge_codes[node_id]
+        if self.entry_point == node_id:
+            # Entry-point reset to any remaining node
+            # (GraphManager::HandleNodeDeletion semantics,
+            # GraphManager.cpp:476-487 + random fallback :533-552; pinned
+            # deterministically to the smallest remaining id).
+            self.entry_point = min(self.vectors) if self.vectors else None
+
+    def build(self, ids, vectors):
+        for i, v in zip(ids, vectors):
+            self.insert(int(i), v)
+
+
+def brute_force_topk(queries: np.ndarray, base: np.ndarray,
+                     metric: MetricType, k: int) -> np.ndarray:
+    """Ground-truth exact top-k by (dist, index)."""
+    out = []
+    for q in queries:
+        dists = np.array([exact_distance(q, b, metric) for b in base])
+        order = sorted(range(len(base)), key=lambda i: (dists[i], i))[:k]
+        out.append(order)
+    return np.asarray(out)
