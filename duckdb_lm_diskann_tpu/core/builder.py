@@ -1,0 +1,287 @@
+"""Vamana graph construction: batched RobustPrune + batched incremental insert.
+
+TPU-native re-design of the reference's build path:
+
+  - GraphManager::RobustPrune (GraphManager.cpp:259-378): distance-sort
+    candidates, dedup by id, drop self, greedy alpha-filter
+    "exists selected r with alpha*d(p,r) < d(node,p) => prune p", cap R.
+    Here the O(R^2) scalar loop becomes one batched candidate-vs-candidate
+    distance matrix on the MXU plus R masked argmax selection steps
+    (SURVEY §7.1 "RobustPrune -> vectorized alpha-prune").
+  - GraphManager::AddNode (GraphManager.cpp:65-203): allocate, store vector,
+    search for L_insert candidates, RobustPrune, write neighbor list, then
+    the reciprocal interconnect pass re-pruning every chosen neighbor with
+    the new node as a candidate (:161-200) — the two-pass structure of
+    libsql/vectordiskann.c:1571-1606.
+  - PhysicalCreateHNSWIndex's parallel bulk build (one task per scheduler
+    thread, hnsw_index_physical_create.cpp:231-306) becomes batched insert:
+    a whole batch of new nodes searches the pre-batch graph in lock-step,
+    prunes in one batched kernel, and reciprocal updates are grouped by
+    target and applied as one more batched prune. Batch size 1 reproduces
+    the reference's sequential semantics exactly (validated vs the oracle);
+    larger batches are the standard batched-Vamana relaxation in which
+    same-batch nodes see each other only through the reciprocal pass.
+
+Determinism: candidate order is the pinned (distance, slot) sort; reciprocal
+groups are sorted by target slot and candidates by slot, so rebuilding from
+the same input stream yields an identical graph on any backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.types import EdgeType
+from ..ops import topk as topk_ops
+from ..ops.distance import batched_all_pairs_distance, pairwise_distance
+from ..ops.quantize import encode_int8
+from ..ops.ternary import encode_ternary
+from .graph import GraphArrays, GraphParams
+from .searcher import search_for_initial_candidates
+
+INF = jnp.float32(jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def batched_robust_prune(
+    arrays: GraphArrays,
+    node_vecs: jnp.ndarray,  # f32[T, D]
+    cand_slots: jnp.ndarray,  # i32[T, C] candidate node slots (-1 invalid)
+    self_slots: jnp.ndarray,  # i32[T] slot of the node being pruned (-1 ok)
+    *,
+    params: GraphParams,
+) -> jnp.ndarray:
+    """Vectorized RobustPrune. Returns selected neighbor slots i32[T, R],
+    -1 padded, ordered by selection (= ascending distance), matching the
+    order the reference writes neighbor ids (GraphManager.cpp:150-152 writes
+    final_selected in selection order)."""
+    T, C = cand_slots.shape
+    R = params.r
+
+    safe = jnp.maximum(cand_slots, 0)
+    valid = (
+        (cand_slots >= 0)
+        & arrays.valid[safe]
+        & (cand_slots != self_slots[:, None])
+    )
+    cand_vecs = arrays.vectors[safe]  # [T, C, D]
+    d_node = pairwise_distance(
+        node_vecs[:, None, :], cand_vecs, params.prune_metric
+    )
+    d_node, slot_key = topk_ops.mask_invalid(d_node, cand_slots, valid)
+
+    # Sort by (distance, slot) — GraphManager.cpp:300 — carrying the original
+    # candidate index to re-gather vectors afterwards.
+    order0 = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (T, C))
+    d_sorted, slot_sorted, perm = topk_ops.sort_by_distance_id(
+        d_node, slot_key, order0
+    )
+    # Dedup by slot (duplicates share a distance, hence adjacent) —
+    # GraphManager.cpp:302-305.
+    d_sorted, slot_sorted = topk_ops.dedup_sorted_ids(d_sorted, slot_sorted)
+    vec_sorted = jnp.take_along_axis(cand_vecs, perm[..., None], axis=1)
+
+    ok = slot_sorted >= 0  # [T, C]
+    # Candidate-vs-candidate distances: one batched matmul (MXU).
+    d_pair = batched_all_pairs_distance(vec_sorted, params.prune_metric)  # [T,C,C]
+
+    def step(s, state):
+        pruned, selected, sel_idx = state
+        avail = ok & ~pruned & ~selected  # [T, C]
+        has = jnp.any(avail, axis=-1)  # [T]
+        first = jnp.argmax(avail, axis=-1)  # [T] first in sorted order
+        sel_idx = sel_idx.at[:, s].set(
+            jnp.where(has, first.astype(jnp.int32), -1)
+        )
+        onehot = jax.nn.one_hot(first, C, dtype=jnp.bool_) & has[:, None]
+        selected = selected | onehot
+        # alpha * d(p, r_new) < d(node, p)  => prune p
+        # (GraphManager.cpp:357-361, strict '<').
+        d_row = jnp.take_along_axis(d_pair, first[:, None, None], axis=1)[:, 0, :]
+        pruned = pruned | (
+            (params.alpha * d_row < d_sorted) & has[:, None]
+        )
+        return pruned, selected, sel_idx
+
+    init = (
+        ~ok,  # invalid candidates start pruned
+        jnp.zeros((T, C), jnp.bool_),
+        jnp.full((T, R), -1, jnp.int32),
+    )
+    _, _, sel_idx = jax.lax.fori_loop(0, R, step, init)
+
+    sel_ok = sel_idx >= 0
+    sel_slots = jnp.take_along_axis(
+        slot_sorted, jnp.maximum(sel_idx, 0), axis=1
+    )
+    return jnp.where(sel_ok, sel_slots, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def write_neighbor_rows(
+    arrays: GraphArrays,
+    target_slots: jnp.ndarray,  # i32[T] (-1 rows are dropped)
+    nbr_slots: jnp.ndarray,  # i32[T, R] (-1 padded)
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """Set the neighbor list + cached edge codes of each target row — the
+    analog of writing a node block's id array and compressed-edge planes
+    (GraphNode accessors + the edge-compression write path the reference
+    stubs at GraphManager.cpp:402-444, implemented here for real)."""
+    C = arrays.capacity
+    # Out-of-range index + mode='drop' skips padded targets (-1 would wrap).
+    tgt = jnp.where(target_slots >= 0, target_slots, C)
+
+    nbr_ok = nbr_slots >= 0
+    safe_nbr = jnp.maximum(nbr_slots, 0)
+    nbr_vecs = arrays.vectors[safe_nbr]  # [T, R, D]
+
+    new = {"neighbors": arrays.neighbors.at[tgt].set(nbr_slots, mode="drop")}
+    et = params.edge_type
+    if et is EdgeType.TERNARY:
+        pos, neg = encode_ternary(nbr_vecs)  # [T, R, W]
+        zero = jnp.uint32(0)
+        pos = jnp.where(nbr_ok[..., None], pos, zero)
+        neg = jnp.where(nbr_ok[..., None], neg, zero)
+        new["edge_pos"] = arrays.edge_pos.at[tgt].set(pos, mode="drop")
+        new["edge_neg"] = arrays.edge_neg.at[tgt].set(neg, mode="drop")
+    elif et is EdgeType.INT8:
+        codes, scale = encode_int8(nbr_vecs)  # [T, R, D], [T, R]
+        codes = jnp.where(nbr_ok[..., None], codes, jnp.int8(0))
+        scale = jnp.where(nbr_ok, scale, 0.0)
+        new["edge_i8"] = arrays.edge_i8.at[tgt].set(codes, mode="drop")
+        new["edge_scale"] = arrays.edge_scale.at[tgt].set(scale, mode="drop")
+    elif et is EdgeType.FLOAT32:
+        vecs = jnp.where(nbr_ok[..., None], nbr_vecs, 0.0)
+        new["edge_f32"] = arrays.edge_f32.at[tgt].set(vecs, mode="drop")
+    # EdgeType.NONE: nothing cached.
+    return arrays._replace(**new)
+
+
+@jax.jit
+def store_vectors(
+    arrays: GraphArrays, slots: jnp.ndarray, vecs: jnp.ndarray
+) -> GraphArrays:
+    """Store node vectors + mark slots live (AddNode steps 1-3,
+    GraphManager.cpp:73-113, minus the reference's int8 placeholder cast
+    quirk — SURVEY Appendix B)."""
+    return arrays._replace(
+        vectors=arrays.vectors.at[slots].set(vecs.astype(jnp.float32)),
+        valid=arrays.valid.at[slots].set(True),
+        neighbors=arrays.neighbors.at[slots].set(-1),
+    )
+
+
+def _pow2_at_least(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def group_reciprocal_targets(
+    new_slots: np.ndarray, sel: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Group (target <- new node) reciprocal edges by target.
+
+    Returns (targets [U], new_cands [U, A]) with -1 padding; targets sorted
+    ascending, candidates per target sorted ascending — the deterministic
+    batched merge for the scattered writes the reference serializes under
+    IndexLock (SURVEY §7.3 "graph mutation on device").
+    Shapes are padded to power-of-two buckets to bound jit recompilation.
+    """
+    groups: dict[int, list[int]] = {}
+    for m in range(sel.shape[0]):
+        src = int(new_slots[m])
+        for t in sel[m]:
+            t = int(t)
+            if t >= 0:
+                groups.setdefault(t, []).append(src)
+    if not groups:
+        return np.empty((0,), np.int32), np.empty((0, 1), np.int32)
+    targets = sorted(groups)
+    a_max = max(len(v) for v in groups.values())
+    U = _pow2_at_least(len(targets))
+    A = _pow2_at_least(a_max)
+    tgt_arr = np.full(U, -1, np.int32)
+    cand_arr = np.full((U, A), -1, np.int32)
+    for i, t in enumerate(targets):
+        tgt_arr[i] = t
+        srcs = sorted(groups[t])
+        cand_arr[i, : len(srcs)] = srcs
+    return tgt_arr, cand_arr
+
+
+def insert_batch(
+    arrays: GraphArrays,
+    new_slots: np.ndarray,  # i32[M] pre-allocated slots
+    new_vecs: np.ndarray,  # f32[M, D]
+    entry_slot: int,
+    params: GraphParams,
+) -> GraphArrays:
+    """Insert a batch of nodes into the graph (device arrays functional
+    update). Caller owns slot allocation and capacity growth."""
+    new_slots_d = jnp.asarray(new_slots, jnp.int32)
+    new_vecs_d = jnp.asarray(new_vecs, jnp.float32)
+    arrays = store_vectors(arrays, new_slots_d, new_vecs_d)
+    if entry_slot < 0:
+        # First batch bootstrap: node 0 of the batch becomes the entry point
+        # with no neighbors (AddNode first-node path, GraphManager.cpp:118-121).
+        if len(new_slots) == 1:
+            return arrays
+        raise ValueError("first insert into an empty graph must be a single node")
+
+    # Pass 1: candidates via beam search with L = k = L_insert
+    # (SearchForInitialCandidates, Searcher.cpp:275-294). The search runs on
+    # the pre-batch graph: new slots are unreachable (no in-edges yet).
+    res = search_for_initial_candidates(
+        arrays,
+        new_vecs_d,
+        jnp.int32(entry_slot),
+        params=params,
+        l_insert=params.l_insert,
+    )
+    sel = batched_robust_prune(
+        arrays, new_vecs_d, res.topk_slots, new_slots_d, params=params
+    )
+    arrays = write_neighbor_rows(arrays, new_slots_d, sel, params=params)
+
+    # Pass 2: reciprocal interconnect (GraphManager.cpp:161-200 /
+    # vectordiskann.c:1588-1606), grouped by target.
+    tgt, new_cands = group_reciprocal_targets(
+        np.asarray(new_slots, np.int32), np.asarray(sel)
+    )
+    if len(tgt):
+        tgt_d = jnp.asarray(tgt, jnp.int32)
+        safe_t = jnp.maximum(tgt_d, 0)
+        tgt_vecs = arrays.vectors[safe_t]
+        cand2 = jnp.concatenate(
+            [arrays.neighbors[safe_t], jnp.asarray(new_cands, jnp.int32)],
+            axis=1,
+        )
+        sel2 = batched_robust_prune(
+            arrays, tgt_vecs, cand2, tgt_d, params=params
+        )
+        arrays = write_neighbor_rows(arrays, tgt_d, sel2, params=params)
+    return arrays
+
+
+def build_schedule(n: int, max_batch: int = 1024) -> list[int]:
+    """Ramped batch sizes 1,1,2,4,... so early nodes are inserted with
+    near-sequential semantics (graph quality) while the bulk of the build
+    runs at full batch width on the MXU."""
+    out = []
+    b = 1
+    remaining = n
+    while remaining > 0:
+        step = min(b, remaining, max_batch)
+        out.append(step)
+        remaining -= step
+        if b < max_batch:
+            b *= 2
+    return out

@@ -1,0 +1,324 @@
+"""Coordinator: the orchestration facade over storage, graph, and search.
+
+TPU-native re-design of ``core::Coordinator`` (core/Coordinator.{hpp,cpp}),
+which owns the injected storage/graph/searcher/shadow services and implements
+the operation workflows:
+
+  - Search: L_search resolution + delegation (Coordinator.cpp:63-102)
+  - Insert: add node -> search candidates -> RobustPrune -> shadow LogInsert
+    -> mark dirty, with rollback FreeNode on error (:104-174)
+  - Delete: LogDelete -> EnqueueDeletion -> HandleNodeDeletion -> FreeNode
+    (:176-224); back-edges are removed eagerly like libSQL's diskAnnDelete
+    (vectordiskann.c:1626-1700) rather than deferred
+  - Update = delete + insert (:226-237, a stub there; real here)
+  - PerformVacuum -> ProcessDeletionQueue (:353-368)
+  - GetInMemorySize accounting (:370-389)
+  - Load/Save orchestration lives in store/checkpoint.py
+
+Where the reference serializes mutations under IndexLock, here every
+mutation is a pure batched transform of the ``GraphArrays`` pytree; the
+Coordinator is the single host-side owner of the current array state plus
+the rowid<->slot map.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.types import INVALID_ROW_ID, MetricType, VectorType
+from ..utils.tracing import SearchStats
+from .builder import insert_batch
+from .config import LmDiskannConfig
+from .graph import (
+    GraphArrays,
+    GraphParams,
+    SlotAllocator,
+    grow_graph_arrays,
+    make_graph_arrays,
+)
+from .searcher import beam_search
+
+_MIN_CAPACITY = 1024
+
+
+class Coordinator:
+    """Owns the index state and implements the operation workflows."""
+
+    def __init__(self, config: LmDiskannConfig, initial_capacity: int = _MIN_CAPACITY):
+        config.validate()
+        self.config = config
+        self.params = GraphParams.from_config(config)
+        self.allocator = SlotAllocator()
+        capacity = max(_MIN_CAPACITY, initial_capacity)
+        self.arrays: GraphArrays = make_graph_arrays(self.params, capacity)
+        # Entry point: first inserted node; random fallback on deletion
+        # (GraphManager::SetEntryPoint / SelectEntryPointForSearch,
+        # GraphManager.cpp:118-121, :564-621 — pinned deterministically to
+        # the smallest live slot instead of a random node).
+        self.entry_slot: int = -1
+        self.entry_rowid: int = INVALID_ROW_ID
+        # Dense slot -> rowid map mirrored on host for result translation.
+        self._slot_rowids = np.full(capacity, INVALID_ROW_ID, np.int64)
+        self.dirty: bool = False
+        self.max_insert_batch: int = 1024
+        self.last_search_stats: SearchStats | None = None
+        # Optional services injected by the db/store layers (the ctor
+        # injection of Coordinator.hpp:46-48).
+        self.shadow_service = None  # store.shadow.ShadowStorageService
+
+    # ------------------------------------------------------------------ #
+    # properties / stats
+
+    @property
+    def count(self) -> int:
+        return self.allocator.count
+
+    @property
+    def capacity(self) -> int:
+        return self.arrays.capacity
+
+    def get_in_memory_size(self) -> int:
+        """Byte accounting over the device arrays
+        (Coordinator::GetInMemorySize, Coordinator.cpp:370-389)."""
+        total = 0
+        for a in self.arrays:
+            total += a.size * a.dtype.itemsize
+        return total
+
+    # ------------------------------------------------------------------ #
+    # capacity management
+
+    def _ensure_capacity(self, needed: int) -> None:
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        self.arrays = grow_graph_arrays(self.arrays, new_cap)
+        grown = np.full(new_cap, INVALID_ROW_ID, np.int64)
+        grown[: len(self._slot_rowids)] = self._slot_rowids
+        self._slot_rowids = grown
+
+    # ------------------------------------------------------------------ #
+    # insert (Coordinator::Insert, Coordinator.cpp:104-174)
+
+    def insert(self, rowids: Sequence[int], vectors: np.ndarray) -> None:
+        """Insert a batch of (rowid, vector) pairs."""
+        vectors = np.atleast_2d(np.asarray(vectors))
+        rowids = [int(r) for r in rowids]
+        if len(rowids) != vectors.shape[0]:
+            raise ValueError("rowids/vectors length mismatch")
+        if vectors.shape[1] != self.config.dimensions:
+            raise ValueError(
+                f"vector dimensions {vectors.shape[1]} != index dimensions "
+                f"{self.config.dimensions}"
+            )
+        if self.config.node_vector_type is VectorType.INT8:
+            vectors = vectors.astype(np.float32)
+        vectors = np.ascontiguousarray(vectors, np.float32)
+
+        self._ensure_capacity(self.allocator.high_water + len(rowids))
+        graph_size = self.count  # nodes already connected into the graph
+        slots = self.allocator.allocate_batch(rowids)
+        try:
+            offset = 0
+            # The very first node bootstraps alone (entry point, no edges).
+            if self.entry_slot < 0 and len(slots):
+                self.arrays = insert_batch(
+                    self.arrays, slots[:1], vectors[:1], -1, self.params
+                )
+                self.entry_slot = int(slots[0])
+                self.entry_rowid = rowids[0]
+                offset = 1
+                graph_size = 1
+            while offset < len(slots):
+                # Batch width never exceeds the current graph size: a batch
+                # searches the pre-batch graph, so wider batches against a
+                # tiny graph would all pick the same few candidates and
+                # degrade connectivity. This self-ramps 1,1,2,4,... like the
+                # build schedule.
+                step = min(len(slots) - offset, graph_size, self.max_insert_batch)
+                self.arrays = insert_batch(
+                    self.arrays,
+                    slots[offset : offset + step],
+                    vectors[offset : offset + step],
+                    self.entry_slot,
+                    self.params,
+                )
+                offset += step
+                graph_size += step
+        except Exception:
+            # Rollback FreeNode on error (Coordinator.cpp:160-172).
+            for r in rowids:
+                if r in self.allocator.rowid_to_slot:
+                    self.allocator.free(r)
+            self.allocator.process_deletion_queue()
+            raise
+        self._slot_rowids[slots] = np.asarray(rowids, np.int64)
+        if self.shadow_service is not None:
+            self.shadow_service.log_insert_batch(rowids, slots.tolist())
+        self.dirty = True
+
+    def bulk_build(
+        self,
+        rowids: Sequence[int],
+        vectors: np.ndarray,
+        max_batch: int = 1024,
+    ) -> None:
+        """CREATE INDEX bulk path: ramped batched insertion — the analog of
+        the reference's parallel construct tasks
+        (hnsw_index_physical_create.cpp:231-306); LM-DiskANN's own Append
+        loops row-by-row over Insert (db/LmDiskannIndex.cpp:350-376), which
+        batch ramping generalizes."""
+        old = self.max_insert_batch
+        self.max_insert_batch = max_batch
+        try:
+            self.insert(rowids, np.atleast_2d(vectors))
+        finally:
+            self.max_insert_batch = old
+
+    # ------------------------------------------------------------------ #
+    # search (Coordinator::Search, Coordinator.cpp:63-102)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        l_search: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
+        empty slots are (-1, +inf) — fewer than k results happens only when
+        the index holds fewer than k rows."""
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.config.dimensions:
+            raise ValueError(
+                f"query dimensions {queries.shape[1]} != index dimensions "
+                f"{self.config.dimensions}"
+            )
+        B = queries.shape[0]
+        if self.count == 0 or self.entry_slot < 0:
+            return (
+                np.full((B, k), INVALID_ROW_ID, np.int64),
+                np.full((B, k), np.inf, np.float32),
+            )
+        # L_search = max(explicit param or config default, k)
+        # (Coordinator.cpp:63-102 / Searcher::Search :256-272).
+        L = max(l_search if l_search is not None else self.config.l_search, k)
+        res = beam_search(
+            self.arrays,
+            jnp.asarray(queries),
+            jnp.int32(self.entry_slot),
+            params=self.params,
+            l_search=L,
+            k=k,
+        )
+        slots = np.asarray(res.topk_slots)
+        dists = np.asarray(res.topk_dists)
+        self.last_search_stats = SearchStats(
+            queries=B,
+            hops=int(res.hops),
+            nodes_visited=int(np.asarray(res.visited_count).sum()),
+            l_search=L,
+            k=k,
+        )
+        rowids = np.where(
+            slots >= 0,
+            self._slot_rowids[np.maximum(slots, 0)],
+            INVALID_ROW_ID,
+        )
+        return rowids, dists
+
+    # ------------------------------------------------------------------ #
+    # delete / vacuum (Coordinator.cpp:176-224, :353-368)
+
+    def delete(self, rowids: Sequence[int]) -> int:
+        """Delete rows. Eagerly unlinks back-edges from each deleted node's
+        neighbors (diskAnnDelete, vectordiskann.c:1626-1700); edges *into*
+        the deleted node from elsewhere become zombies filtered by the valid
+        mask at search time. Returns the number of rows actually deleted —
+        missing rowids are skipped silently (vectordiskann.c:1646-1650)."""
+        rowids = [int(r) for r in rowids]
+        present = [r for r in rowids if r in self.allocator.rowid_to_slot]
+        if not present:
+            return 0
+        del_slots = np.asarray(
+            [self.allocator.rowid_to_slot[r] for r in present], np.int32
+        )
+        del_set = set(int(s) for s in del_slots)
+
+        # Collect back-edge targets: the deleted nodes' own neighbor lists.
+        nbr_rows = np.asarray(self.arrays.neighbors)[del_slots]  # [D, R]
+        targets = sorted(
+            {int(t) for t in nbr_rows.ravel() if t >= 0 and int(t) not in del_set}
+        )
+        if targets:
+            from .builder import write_neighbor_rows  # local to avoid cycle
+
+            R = self.params.r
+            tgt_arr = np.asarray(targets, np.int32)
+            cur = np.asarray(self.arrays.neighbors)[tgt_arr]  # [T, R]
+            new_lists = np.full_like(cur, -1)
+            for i in range(len(targets)):
+                keep = [int(s) for s in cur[i] if s >= 0 and int(s) not in del_set]
+                new_lists[i, : len(keep)] = keep
+            self.arrays = write_neighbor_rows(
+                self.arrays,
+                jnp.asarray(tgt_arr),
+                jnp.asarray(new_lists),
+                params=self.params,
+            )
+
+        # Tombstone + unmap + enqueue (EnqueueDeletion + FreeNode).
+        self.arrays = self.arrays._replace(
+            valid=self.arrays.valid.at[jnp.asarray(del_slots)].set(False)
+        )
+        for r in present:
+            self.allocator.free(r)
+        self._slot_rowids[del_slots] = INVALID_ROW_ID
+        if self.shadow_service is not None:
+            self.shadow_service.log_delete_batch(present)
+
+        # Entry-point fallback (HandleNodeDeletion, GraphManager.cpp:476-487).
+        # The reference re-selects a *random* node (:564-621); we pin a
+        # deterministic, connectivity-aware choice: the live slot with the
+        # most live out-neighbors, ties to the smallest slot — same recovery
+        # behavior, reproducible results.
+        if self.entry_slot in del_set:
+            self.entry_slot, self.entry_rowid = self._select_fallback_entry()
+        self.dirty = True
+        return len(present)
+
+    def _select_fallback_entry(self) -> tuple[int, int]:
+        """Deterministic entry re-selection after the entry point dies."""
+        if not self.allocator.slot_to_rowid:
+            return -1, INVALID_ROW_ID
+        live = np.asarray(sorted(self.allocator.slot_to_rowid), np.int32)
+        valid = np.asarray(self.arrays.valid)
+        nbrs = np.asarray(self.arrays.neighbors)[live]  # [T, R]
+        degree = ((nbrs >= 0) & valid[np.maximum(nbrs, 0)]).sum(axis=1)
+        slot = int(live[int(np.argmax(degree))])  # argmax ties -> first/smallest
+        return slot, self.allocator.slot_to_rowid[slot]
+
+    def update(self, rowid: int, vector: np.ndarray) -> None:
+        """Update = delete + re-insert (Coordinator::Update, :226-237)."""
+        self.delete([rowid])
+        self.insert([rowid], np.atleast_2d(vector))
+
+    def vacuum(self) -> int:
+        """PerformVacuum -> ProcessDeletionQueue (Coordinator.cpp:353-368):
+        recycle tombstoned slots into the free list. Returns slots recycled."""
+        recycled = self.allocator.process_deletion_queue()
+        self.dirty = self.dirty or bool(recycled)
+        return len(recycled)
+
+    def handle_commit_drop(self) -> None:
+        """HandleCommitDrop (Coordinator.cpp:319-351): drop all state."""
+        self.allocator = SlotAllocator()
+        self.arrays = make_graph_arrays(self.params, _MIN_CAPACITY)
+        self._slot_rowids = np.full(_MIN_CAPACITY, INVALID_ROW_ID, np.int64)
+        self.entry_slot = -1
+        self.entry_rowid = INVALID_ROW_ID
+        self.dirty = False

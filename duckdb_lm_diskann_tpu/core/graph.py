@@ -98,6 +98,20 @@ class GraphParams:
     def words(self) -> int:
         return words_per_plane_u32(self.dims)
 
+    @property
+    def prune_metric(self) -> MetricType:
+        """Metric used inside RobustPrune's alpha test.
+
+        The Vamana rule ``alpha * d(p, r) < d(node, p)`` presumes
+        non-negative distances; IP distance is -dot and can be negative,
+        which inverts the rule and destroys graph quality. The reference
+        carries IP through the same formula unvalidated (libSQL ships only
+        cos/L2, vectorIndexInt.h:118-124); we prune IP indexes in cosine
+        geometry (same neighbor *directions*, non-negative distances) while
+        search ordering stays pure IP.
+        """
+        return MetricType.COSINE if self.metric is MetricType.IP else self.metric
+
 
 def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
     """Allocate zeroed arrays for ``capacity`` node slots."""

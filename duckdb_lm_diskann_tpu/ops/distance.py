@@ -90,6 +90,31 @@ def all_pairs_distance(
     raise ValueError(f"Unsupported metric type {metric}")
 
 
+def batched_all_pairs_distance(
+    vecs: jnp.ndarray, metric: MetricType
+) -> jnp.ndarray:
+    """Per-batch candidate-vs-candidate distance matrix:
+    vecs [T, C, D] -> [T, C, C].
+
+    The RobustPrune inner engine: the reference's O(R^2) scalar
+    candidate-vs-selected distance loop (GraphManager.cpp:346-367) becomes a
+    batched [C, D] x [D, C] matmul per target on the MXU.
+    """
+    v = vecs.astype(jnp.float32)
+    dot = jnp.einsum("tcd,ted->tce", v, v, preferred_element_type=jnp.float32)
+    if metric is MetricType.IP:
+        return -dot
+    sq = jnp.sum(v * v, axis=-1)  # [T, C]
+    if metric is MetricType.L2:
+        return _l2_from_sq(sq[:, :, None] + sq[:, None, :] - 2.0 * dot)
+    if metric is MetricType.COSINE:
+        norm = jnp.sqrt(sq)[:, :, None] * jnp.sqrt(sq)[:, None, :]
+        cos = jnp.clip(dot / jnp.where(norm > 0.0, norm, 1.0), -1.0, 1.0)
+        zero = (sq[:, :, None] <= 0.0) | (sq[:, None, :] <= 0.0)
+        return jnp.where(zero, 1.0, 1.0 - cos)
+    raise ValueError(f"Unsupported metric type {metric}")
+
+
 def query_to_neighbors_distance(
     query: jnp.ndarray, neighbor_vecs: jnp.ndarray, metric: MetricType
 ) -> jnp.ndarray:

@@ -109,11 +109,12 @@ class OracleGraph:
     # --- search (diskAnnSearchInternal, vectordiskann.c:1283-1400) ---
 
     def search(self, query: np.ndarray, k: int, l_search: int | None = None,
-               entry: int | None = None):
+               entry: int | None = None, max_visits: int | None = None):
         """Returns (topk_ids, topk_dists, visited_ids_in_visit_order,
         visited_exact_dists)."""
         query = np.asarray(query, np.float32)
         L = l_search or self.l_search
+        V = max_visits or 4 * L  # fixed loop bound, same cap as the device
         if entry is None:
             entry = self.entry_point
         if entry is None or entry not in self.vectors:
@@ -126,16 +127,11 @@ class OracleGraph:
         visited_dists: list[float] = []
         visited_set: set[int] = set()
 
-        while True:
+        while len(visited_ids) < V:
             cur = next((e for e in beam if not e[2]), None)
             if cur is None:
                 break
             dist, node, _ = cur
-            if node not in self.vectors:
-                # Zombie edge: candidate row no longer exists
-                # (vectordiskann.c:1349-1354) — drop it from the beam.
-                beam.remove(cur)
-                continue
             cur[2] = True
             # Exact distance at visit time (the aTopCandidates insert,
             # vectordiskann.c:1366-1370).
@@ -146,7 +142,12 @@ class OracleGraph:
 
             beam_ids = {e[1] for e in beam}
             for j, nbr in enumerate(self.neighbors[node]):
-                if nbr in visited_set or nbr in beam_ids:
+                # Zombie edges (deleted rows) are filtered eagerly at
+                # candidate-insertion time, matching the device engine's
+                # valid-mask gather; libSQL discovers them lazily at
+                # blob-read time (vectordiskann.c:1349-1354) only because
+                # checking earlier would cost an I/O there.
+                if nbr in visited_set or nbr in beam_ids or nbr not in self.vectors:
                     continue
                 code = self.edge_codes[node][j]
                 nd = self.edge_distance(query, code)
@@ -167,13 +168,20 @@ class OracleGraph:
 
     # --- RobustPrune (GraphManager.cpp:259-378) ---
 
+    @property
+    def prune_metric(self) -> MetricType:
+        """IP distances are negative and invert the alpha rule; prune in
+        cosine geometry for IP (see GraphParams.prune_metric)."""
+        return (MetricType.COSINE if self.metric is MetricType.IP
+                else self.metric)
+
     def robust_prune(self, node_vec: np.ndarray, candidate_ids: list[int],
                      self_id: int | None = None) -> list[int]:
         cands = []
         for cid in candidate_ids:
             if cid == self_id or cid not in self.vectors:
                 continue
-            d = exact_distance(node_vec, self.vectors[cid], self.metric)
+            d = exact_distance(node_vec, self.vectors[cid], self.prune_metric)
             cands.append((d, cid))
         cands.sort()
         # dedup by id, keep first (GraphManager.cpp:302-305)
@@ -190,7 +198,7 @@ class OracleGraph:
             pruned = False
             for r_id in selected:
                 d_p_r = exact_distance(self.vectors[p], self.vectors[r_id],
-                                       self.metric)
+                                       self.prune_metric)
                 if self.alpha * d_p_r < d_node_p:
                     pruned = True
                     break
@@ -239,11 +247,21 @@ class OracleGraph:
         del self.neighbors[node_id]
         del self.edge_codes[node_id]
         if self.entry_point == node_id:
-            # Entry-point reset to any remaining node
-            # (GraphManager::HandleNodeDeletion semantics,
-            # GraphManager.cpp:476-487 + random fallback :533-552; pinned
-            # deterministically to the smallest remaining id).
-            self.entry_point = min(self.vectors) if self.vectors else None
+            # Entry-point reset (GraphManager::HandleNodeDeletion,
+            # GraphManager.cpp:476-487; random fallback :533-552 pinned
+            # deterministically to the live node with the most live
+            # out-neighbors, ties to the smallest id — same rule as the
+            # device Coordinator).
+            if self.vectors:
+                self.entry_point = max(
+                    sorted(self.vectors),
+                    key=lambda x: (
+                        sum(1 for nb in self.neighbors[x] if nb in self.vectors),
+                        -x,
+                    ),
+                )
+            else:
+                self.entry_point = None
 
     def build(self, ids, vectors):
         for i, v in zip(ids, vectors):

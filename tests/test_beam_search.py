@@ -1,0 +1,171 @@
+"""Beam-search engine vs the NumPy oracle: exact-ID agreement.
+
+The judged contract is deterministic, reference-semantics traversal
+(SURVEY §4: "graph-semantics tests against a NumPy/pure-JAX oracle
+implementing the libSQL algorithm"). With TERNARY edges the beam distances
+are small integers, so traversal order is *bit-identical* between oracle and
+device; only the final exact re-rank can see float near-ties, which the
+checker tolerates iff the two distances agree to ~1ulp-scale tolerance.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType
+from duckdb_lm_diskann_tpu.core.builder import write_neighbor_rows
+from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+from duckdb_lm_diskann_tpu.core.graph import GraphParams, make_graph_arrays
+from duckdb_lm_diskann_tpu.core.searcher import beam_search
+
+from tests.oracle import OracleGraph
+
+from duckdb_lm_diskann_tpu.common.types import VectorType
+
+
+def make_params(metric, edge_type, dims=16, r=8, l_insert=16, l_search=32):
+    cfg = LmDiskannConfig(
+        metric_type=metric,
+        r=r,
+        l_insert=l_insert,
+        l_search=l_search,
+        dimensions=dims,
+        node_vector_type=VectorType.FLOAT32,
+        edge_type=edge_type,
+    )
+    cfg.validate()
+    return GraphParams.from_config(cfg)
+
+
+def oracle_to_arrays(oracle: OracleGraph, params: GraphParams, capacity=None):
+    """Load an oracle-built graph into device arrays (node id == slot)."""
+    n = max(oracle.vectors) + 1
+    capacity = capacity or n
+    arrays = make_graph_arrays(params, capacity)
+    vecs = np.zeros((capacity, params.dims), np.float32)
+    valid = np.zeros(capacity, bool)
+    nbrs = np.full((capacity, params.r), -1, np.int32)
+    for nid, v in oracle.vectors.items():
+        vecs[nid] = v
+        valid[nid] = True
+        lst = oracle.neighbors[nid]
+        nbrs[nid, : len(lst)] = lst
+    arrays = arrays._replace(
+        vectors=jnp.asarray(vecs), valid=jnp.asarray(valid)
+    )
+    slots = jnp.asarray(np.arange(capacity, dtype=np.int32))
+    arrays = write_neighbor_rows(arrays, slots, jnp.asarray(nbrs), params=params)
+    return arrays
+
+
+def assert_results_match(got_ids, got_dists, want_ids, want_dists, tol=2e-5):
+    """IDs must match exactly except where the two candidates' distances
+    agree within float tolerance (a genuine near-tie)."""
+    got_ids, want_ids = np.asarray(got_ids), np.asarray(want_ids)
+    mism = got_ids != want_ids
+    if mism.any():
+        d_got = np.asarray(got_dists)[mism]
+        d_want = np.asarray(want_dists)[mism]
+        np.testing.assert_allclose(
+            d_got, d_want, atol=tol, rtol=tol,
+            err_msg=f"ID mismatch beyond near-ties: got {got_ids[mism][:5]} "
+                    f"want {want_ids[mism][:5]}",
+        )
+    np.testing.assert_allclose(got_dists, want_dists, atol=tol, rtol=tol)
+
+
+CASES = [
+    (MetricType.COSINE, EdgeType.TERNARY),
+    (MetricType.IP, EdgeType.TERNARY),
+    (MetricType.L2, EdgeType.INT8),
+    (MetricType.L2, EdgeType.FLOAT32),
+    (MetricType.COSINE, EdgeType.NONE),  # C++ Searcher exact-traversal mode
+]
+
+
+@pytest.mark.parametrize("metric,edge_type", CASES)
+def test_search_matches_oracle(rng, metric, edge_type):
+    n, dims, k = 200, 16, 10
+    params = make_params(metric, edge_type, dims=dims)
+    oracle = OracleGraph(dims, params.r, metric, edge_type,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+
+    queries = rng.standard_normal((8, dims)).astype(np.float32)
+    res = beam_search(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=params.l_search, k=k,
+    )
+    for b in range(queries.shape[0]):
+        want_ids, want_dists, _, _ = oracle.search(queries[b], k)
+        got_ids = np.asarray(res.topk_slots[b])[: len(want_ids)]
+        got_dists = np.asarray(res.topk_dists[b])[: len(want_ids)]
+        assert_results_match(got_ids, got_dists, want_ids, want_dists)
+
+
+@pytest.mark.parametrize("metric,edge_type", [
+    (MetricType.COSINE, EdgeType.TERNARY),
+    (MetricType.L2, EdgeType.INT8),
+])
+def test_visited_sets_match_oracle(rng, metric, edge_type):
+    """The insert path consumes the visited set; it must agree too."""
+    n, dims = 150, 12
+    params = make_params(metric, edge_type, dims=dims)
+    oracle = OracleGraph(dims, params.r, metric, edge_type,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+
+    queries = rng.standard_normal((4, dims)).astype(np.float32)
+    res = beam_search(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=params.l_search, k=params.l_search,
+    )
+    for b in range(queries.shape[0]):
+        _, _, visited, _ = oracle.search(queries[b], params.l_search)
+        cnt = int(res.visited_count[b])
+        got = np.asarray(res.visited_slots[b])[:cnt].tolist()
+        # Visit *order* must match, not just the set.
+        assert got == visited
+
+
+def test_search_empty_and_single_node(rng):
+    params = make_params(MetricType.COSINE, EdgeType.TERNARY, dims=8)
+    arrays = make_graph_arrays(params, 16)
+    q = jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32))
+    # Empty graph: entry -1 -> no results.
+    res = beam_search(arrays, q, jnp.int32(-1), params=params,
+                      l_search=8, k=3)
+    assert np.all(np.asarray(res.topk_slots) == -1)
+    assert np.all(np.isinf(np.asarray(res.topk_dists)))
+    # Single node.
+    v = rng.standard_normal((1, 8)).astype(np.float32)
+    arrays = arrays._replace(
+        vectors=arrays.vectors.at[0].set(jnp.asarray(v[0])),
+        valid=arrays.valid.at[0].set(True),
+    )
+    res = beam_search(arrays, q, jnp.int32(0), params=params, l_search=8, k=3)
+    slots = np.asarray(res.topk_slots)
+    assert (slots[:, 0] == 0).all()
+    assert (slots[:, 1:] == -1).all()
+
+
+def test_zombie_edges_skipped(rng):
+    """Edges to tombstoned nodes must be ignored (valid-mask filter; libSQL
+    zombie handling, vectordiskann.c:1349-1354)."""
+    dims = 8
+    params = make_params(MetricType.COSINE, EdgeType.TERNARY, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.COSINE, EdgeType.TERNARY,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((50, dims)).astype(np.float32)
+    oracle.build(range(50), data)
+    arrays = oracle_to_arrays(oracle, params)
+    # Tombstone node 7 on the device WITHOUT removing back-edges (zombie).
+    arrays = arrays._replace(valid=arrays.valid.at[7].set(False))
+    q = jnp.asarray(rng.standard_normal((4, dims)).astype(np.float32))
+    res = beam_search(arrays, q, jnp.int32(0), params=params,
+                      l_search=16, k=10)
+    assert not np.any(np.asarray(res.topk_slots) == 7)
