@@ -1,0 +1,294 @@
+"""Checkpoint / load orchestration: graph.lmd + shadow store, two-phase merge.
+
+TPU-native re-design of the reference's persistence story:
+
+  - Coordinator::SaveIndex/LoadIndex -> StorageManager::SaveIndexContents/
+    LoadIndexContents (Coordinator.cpp:239-317; stubbed in the reference at
+    StorageManager.cpp:187-239) — implemented here for real.
+  - V2 design (Consolidated Proposal:15-26, :96-107, :188-211): graph.lmd
+    fixed-size block file + secondary transactional store; checkpoint is an
+    idempotent two-phase merge — (1) write + fsync graph.lmd, (2) atomically
+    commit lookup/tombstones/checksums/metadata and clear the delta log. A
+    crash between phases re-merges harmlessly.
+  - Index metadata fields (entry point, count, config, format version)
+    mirror index_config.hpp:195-210 / StorageManager.cpp:104-117.
+  - Startup reconciliation + recovery (Proposal:88,94,426-429): pending
+    deltas detected at load; ``recover`` replays them from the base table
+    via IPrimaryStorageService; checksum mismatch -> mark-broken ->
+    ``rebuild_from_primary`` (Proposal:429,440).
+
+Block assignment: block_id == device slot. Neighbor ids are serialized as
+*row ids* (host-relocatable, reference format); the loader maps them back to
+slots through the persisted ``lmd_lookup`` table. Zombie edges (to rows that
+died before the checkpoint) serialize as the empty sentinel — a checkpoint
+is also a zombie-edge sweep.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.types import EdgeType, INVALID_ROW_ID, MetricType, VectorType
+from ..core.config import LmDiskannConfig
+from ..core.coordinator import Coordinator
+from ..core.graph import make_graph_arrays
+from .block_codec import decode_blocks, encode_blocks, resolve_layout
+from .file_service import open_block_file
+from .shadow import ShadowStorageService
+
+
+class IndexCorruptionError(RuntimeError):
+    """Checksum/reconciliation failure: index is marked broken; rebuild from
+    the base table (Proposal:429,440)."""
+
+
+def _config_to_dict(config: LmDiskannConfig) -> dict:
+    return {
+        "metric": config.metric_type.value,
+        "r": config.r,
+        "l_insert": config.l_insert,
+        "alpha": config.alpha,
+        "l_search": config.l_search,
+        "dimensions": config.dimensions,
+        "node_vector_type": config.node_vector_type.value,
+        "edge_type": config.resolve_edge_type().value,
+        "max_visits": config.max_visits,
+    }
+
+
+def _config_from_dict(d: dict) -> LmDiskannConfig:
+    return LmDiskannConfig(
+        metric_type=MetricType.parse(d["metric"]),
+        r=int(d["r"]),
+        l_insert=int(d["l_insert"]),
+        alpha=float(d["alpha"]),
+        l_search=int(d["l_search"]),
+        dimensions=int(d["dimensions"]),
+        node_vector_type=VectorType(d["node_vector_type"]),
+        edge_type=EdgeType.parse(d["edge_type"]),
+        max_visits=int(d.get("max_visits", 0)),
+    )
+
+
+def save_index(coord: Coordinator, directory: str | os.PathLike) -> None:
+    """Two-phase checkpoint of a Coordinator into an index directory
+    (the per-index directory the reference creates as
+    ``<db>.lmd_idx/<index>/``, db/LmDiskannIndex.cpp:165-235)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    layout = resolve_layout(coord.config)
+    shadow = ShadowStorageService(directory)
+    bf = open_block_file(directory / "graph.lmd", layout.block_size, create=True)
+    try:
+        bf.mark_dirty(True)
+        hw = coord.allocator.high_water
+        arrays = coord.arrays
+        # Device -> host (single transfer per array, rows [0, hw)).
+        vectors = np.asarray(arrays.vectors[:hw])
+        neighbors = np.asarray(arrays.neighbors[:hw])  # slots
+        slot_rowids = coord._slot_rowids[:hw]
+        # slot -> rowid for neighbor serialization; dead targets -> sentinel.
+        nbr_rowids = np.where(
+            neighbors >= 0,
+            slot_rowids[np.maximum(neighbors, 0)],
+            np.int64(INVALID_ROW_ID),
+        )
+        # valid-masked: blocks of dead slots serialize zeroed.
+        valid = np.asarray(arrays.valid[:hw])
+        nbr_rowids = np.where(valid[:, None], nbr_rowids, np.int64(INVALID_ROW_ID))
+        kw = {}
+        et = coord.params.edge_type
+        if et is EdgeType.TERNARY:
+            kw["edge_pos"] = np.asarray(arrays.edge_pos[:hw])
+            kw["edge_neg"] = np.asarray(arrays.edge_neg[:hw])
+        elif et is EdgeType.INT8:
+            kw["edge_i8"] = np.asarray(arrays.edge_i8[:hw])
+            kw["edge_scale"] = np.asarray(arrays.edge_scale[:hw])
+        elif et is EdgeType.FLOAT32:
+            kw["edge_f32"] = np.asarray(arrays.edge_f32[:hw])
+        blocks = encode_blocks(coord.config, vectors, nbr_rowids, **kw)
+        blocks[~valid] = 0
+
+        # Phase 1: write + fsync graph.lmd.
+        bf.truncate(hw)
+        if hw:
+            bf.write_blocks(0, blocks)
+        bf.sync()
+        checksums = bf.crc32_rows(blocks) if hw else np.empty(0, np.uint32)
+
+        # Phase 2: transactional shadow commit (clears the delta log).
+        shadow.commit_checkpoint(
+            lookup=dict(coord.allocator.rowid_to_slot),
+            tombstones=coord.allocator.pending_deletion,
+            checksums=checksums,
+            metadata={
+                "format_version": 3,
+                "config": _config_to_dict(coord.config),
+                "entry_rowid": coord.entry_rowid,
+                "count": coord.count,
+                "high_water": hw,
+                "free_slots": coord.allocator.free_slots,
+                "broken": False,
+            },
+        )
+        bf.mark_dirty(False)
+        coord.dirty = False
+    finally:
+        bf.close()
+        shadow.close()
+
+
+def load_index(
+    directory: str | os.PathLike, verify_checksums: bool = True
+) -> Coordinator:
+    """Load an index directory back into a Coordinator."""
+    directory = Path(directory)
+    shadow = ShadowStorageService(directory)
+    try:
+        cfg_dict = shadow.get_metadata("config")
+        if cfg_dict is None:
+            raise FileNotFoundError(f"no index metadata in {directory}")
+        config = _config_from_dict(cfg_dict)
+        layout = resolve_layout(config)
+        hw = int(shadow.get_metadata("high_water", 0))
+        if shadow.get_metadata("broken", False):
+            raise IndexCorruptionError(
+                f"index at {directory} is marked broken; rebuild from the "
+                "base table (rebuild_from_primary)"
+            )
+        pending = shadow.pending_deltas()
+
+        bf = open_block_file(directory / "graph.lmd", layout.block_size, create=False)
+        try:
+            blocks = bf.read_blocks(0, min(hw, bf.num_blocks)) if hw else (
+                np.empty((0, layout.block_size), np.uint8)
+            )
+            if verify_checksums and hw:
+                want = shadow.load_checksums()
+                got = bf.crc32_rows(blocks)
+                bad = [i for i in range(len(got)) if want.get(i) not in (None, int(got[i]))]
+                if bad:
+                    shadow.set_metadata("broken", True)
+                    raise IndexCorruptionError(
+                        f"checksum mismatch in blocks {bad[:8]} of "
+                        f"{directory}/graph.lmd; index marked broken"
+                    )
+        finally:
+            bf.close()
+
+        decoded = decode_blocks(config, blocks)
+        lookup = shadow.load_lookup()  # rowid -> slot
+        tombstones = shadow.load_tombstones()
+        free_slots = [int(s) for s in shadow.get_metadata("free_slots", [])]
+
+        coord = Coordinator(config, initial_capacity=max(1024, hw))
+        cap = coord.capacity
+        # rowid -> slot translation table for neighbor ids.
+        slot_of = np.full(1, -1, np.int64)  # placeholder
+        rowid_keys = np.asarray(sorted(lookup), np.int64)
+        slot_vals = np.asarray([lookup[int(r)] for r in rowid_keys], np.int32)
+
+        nbr_rowids = decoded["neighbor_rowids"]  # [hw, R]
+        if hw:
+            pos = np.searchsorted(rowid_keys, nbr_rowids)
+            pos = np.clip(pos, 0, max(len(rowid_keys) - 1, 0))
+            hit = (
+                (len(rowid_keys) > 0)
+                & (nbr_rowids >= 0)
+                & (rowid_keys[pos] == nbr_rowids)
+            )
+            nbr_slots = np.where(hit, slot_vals[pos], -1).astype(np.int32)
+        else:
+            nbr_slots = np.empty((0, config.r), np.int32)
+
+        valid = np.zeros(cap, bool)
+        vecs = np.zeros((cap, config.dimensions), np.float32)
+        nbrs = np.full((cap, config.r), -1, np.int32)
+        if hw:
+            vecs[:hw] = decoded["vectors"].astype(np.float32)
+            nbrs[:hw] = nbr_slots
+        for rowid, slot in lookup.items():
+            valid[slot] = True
+            coord.allocator.rowid_to_slot[rowid] = slot
+            coord.allocator.slot_to_rowid[slot] = rowid
+            coord._slot_rowids[slot] = rowid
+        coord.allocator.high_water = hw
+        coord.allocator.free_slots = free_slots
+        coord.allocator.pending_deletion = tombstones
+
+        arrays = make_graph_arrays(coord.params, cap)
+        new = {
+            "vectors": jnp.asarray(vecs),
+            "neighbors": jnp.asarray(nbrs),
+            "valid": jnp.asarray(valid),
+        }
+        et = coord.params.edge_type
+        if hw:
+            if et is EdgeType.TERNARY:
+                ep = np.zeros_like(np.asarray(arrays.edge_pos))
+                en = np.zeros_like(np.asarray(arrays.edge_neg))
+                ep[:hw] = decoded["edge_pos"]
+                en[:hw] = decoded["edge_neg"]
+                new["edge_pos"] = jnp.asarray(ep)
+                new["edge_neg"] = jnp.asarray(en)
+            elif et is EdgeType.INT8:
+                ei = np.zeros_like(np.asarray(arrays.edge_i8))
+                es = np.zeros_like(np.asarray(arrays.edge_scale))
+                ei[:hw] = decoded["edge_i8"]
+                es[:hw] = decoded["edge_scale"]
+                new["edge_i8"] = jnp.asarray(ei)
+                new["edge_scale"] = jnp.asarray(es)
+            elif et is EdgeType.FLOAT32:
+                ef = np.zeros_like(np.asarray(arrays.edge_f32))
+                ef[:hw] = decoded["edge_f32"]
+                new["edge_f32"] = jnp.asarray(ef)
+        coord.arrays = arrays._replace(**new)
+
+        entry_rowid = shadow.get_metadata("entry_rowid", INVALID_ROW_ID)
+        if entry_rowid in lookup:
+            coord.entry_slot = lookup[entry_rowid]
+            coord.entry_rowid = entry_rowid
+        elif lookup:
+            coord.entry_slot, coord.entry_rowid = coord._select_fallback_entry()
+        coord.dirty = False
+        coord.needs_recovery = bool(pending)
+        coord.pending_deltas = pending
+        return coord
+    finally:
+        shadow.close()
+
+
+def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:
+    """Replay un-merged deltas after a crash (startup reconciliation,
+    Proposal:426-429). ``primary`` is a PrimaryStorageService for re-reading
+    vectors of rows whose blocks never reached graph.lmd. Returns the number
+    of deltas replayed; saves a clean checkpoint afterwards."""
+    pending = getattr(coord, "pending_deltas", [])
+    replayed = 0
+    for _seq, op, row_id, _block_id in pending:
+        if op == "insert" and row_id not in coord.allocator.rowid_to_slot:
+            coord.insert([row_id], np.atleast_2d(primary.get_vector(row_id)))
+            replayed += 1
+        elif op == "delete" and row_id in coord.allocator.rowid_to_slot:
+            coord.delete([row_id])
+            replayed += 1
+    coord.needs_recovery = False
+    coord.pending_deltas = []
+    save_index(coord, directory)
+    return replayed
+
+
+def rebuild_from_primary(
+    config: LmDiskannConfig, primary, rowids, directory: str | os.PathLike
+) -> Coordinator:
+    """Last-resort recovery: rebuild the whole index from the base table
+    (mark-index-broken path, Proposal:429,440)."""
+    coord = Coordinator(config)
+    vectors = primary.get_vectors(rowids)
+    coord.bulk_build(list(rowids), np.asarray(vectors, np.float32))
+    save_index(coord, directory)
+    return coord

@@ -1,0 +1,287 @@
+"""Persistence tests: block codec round-trip, native block store, shadow
+store, two-phase checkpoint save/load, crash recovery, corruption handling.
+"""
+
+import numpy as np
+import pytest
+
+from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType, VectorType
+from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+from duckdb_lm_diskann_tpu.ops.quantize import encode_int8_np
+from duckdb_lm_diskann_tpu.ops.ternary import encode_ternary_np
+from duckdb_lm_diskann_tpu.store import block_codec, checkpoint
+from duckdb_lm_diskann_tpu.store.file_service import (
+    NativeBlockFile,
+    PyBlockFile,
+    build_native,
+    open_block_file,
+)
+from duckdb_lm_diskann_tpu.store.shadow import (
+    PrimaryStorageService,
+    ShadowStorageService,
+)
+
+
+def make_config(metric=MetricType.COSINE, edge_type=None, dims=16, r=8):
+    cfg = LmDiskannConfig(
+        metric_type=metric, r=r, l_insert=max(16, 2 * r), l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=edge_type,
+    )
+    cfg.validate()
+    return cfg
+
+
+# --------------------------------------------------------------------- #
+# block codec
+
+
+@pytest.mark.parametrize("metric,edge_type", [
+    (MetricType.COSINE, EdgeType.TERNARY),
+    (MetricType.L2, EdgeType.INT8),
+    (MetricType.L2, EdgeType.FLOAT32),
+])
+def test_codec_roundtrip(rng, metric, edge_type):
+    cfg = make_config(metric, edge_type)
+    n, r, d = 5, cfg.r, cfg.dimensions
+    vectors = rng.standard_normal((n, d)).astype(np.float32)
+    ids = rng.integers(0, 1000, (n, r)).astype(np.int64)
+    ids[:, -2:] = -1  # empty slots
+    kw = {}
+    nbr_vecs = rng.standard_normal((n, r, d)).astype(np.float32)
+    if edge_type is EdgeType.TERNARY:
+        kw["edge_pos"], kw["edge_neg"] = encode_ternary_np(nbr_vecs)
+    elif edge_type is EdgeType.INT8:
+        kw["edge_i8"], kw["edge_scale"] = encode_int8_np(nbr_vecs)
+    else:
+        kw["edge_f32"] = nbr_vecs
+    blocks = block_codec.encode_blocks(cfg, vectors, ids, **kw)
+    lay = block_codec.resolve_layout(cfg)
+    assert blocks.shape == (n, lay.block_size)
+    assert lay.block_size % 4096 == 0
+
+    out = block_codec.decode_blocks(cfg, blocks)
+    np.testing.assert_array_equal(out["counts"], (ids >= 0).sum(1))
+    np.testing.assert_array_equal(out["vectors"], vectors)
+    np.testing.assert_array_equal(out["neighbor_rowids"], ids)
+    if edge_type is EdgeType.TERNARY:
+        np.testing.assert_array_equal(out["edge_pos"], kw["edge_pos"])
+        np.testing.assert_array_equal(out["edge_neg"], kw["edge_neg"])
+    elif edge_type is EdgeType.INT8:
+        np.testing.assert_array_equal(out["edge_i8"], kw["edge_i8"])
+        np.testing.assert_array_equal(out["edge_scale"], kw["edge_scale"])
+    else:
+        np.testing.assert_array_equal(out["edge_f32"], kw["edge_f32"])
+
+
+def test_codec_reference_layout_positions(rng):
+    """Spot-check raw byte positions against the reference layout arithmetic
+    (index_config.cpp:104-148) for D=128, R=64 / FLOAT32 / TERNARY."""
+    cfg = make_config(MetricType.COSINE, EdgeType.TERNARY, dims=128, r=64)
+    vectors = rng.standard_normal((1, 128)).astype(np.float32)
+    ids = np.full((1, 64), -1, np.int64)
+    ids[0, 0] = 42
+    nbr = rng.standard_normal((1, 64, 128)).astype(np.float32)
+    pos, neg = encode_ternary_np(nbr)
+    blk = block_codec.encode_blocks(cfg, vectors, ids, edge_pos=pos, edge_neg=neg)[0]
+    # count @0 (u16) == 1
+    assert int(blk[0:2].view(np.uint16)[0]) == 1
+    # vector @8
+    np.testing.assert_array_equal(blk[8:520].view(np.float32), vectors[0])
+    # neighbor ids @520
+    assert int(blk[520:528].view(np.int64)[0]) == 42
+    # pos planes @1032: first neighbor's plane as u64 == LE pair of u32
+    u64_words = blk[1032:1048].copy().view(np.uint64)
+    u32_pair = pos[0, 0].view(np.uint32)
+    assert int(u64_words[0]) == int(u32_pair[0]) | (int(u32_pair[1]) << 32)
+    assert len(blk) == 4096
+
+
+# --------------------------------------------------------------------- #
+# block file (native + python, same on-disk format)
+
+
+def test_native_builds():
+    assert build_native() is not None, "native blockstore failed to compile"
+
+
+@pytest.mark.parametrize("cls", [NativeBlockFile, PyBlockFile])
+def test_block_file_roundtrip(tmp_path, rng, cls):
+    path = tmp_path / "graph.lmd"
+    bs = 4096
+    try:
+        f = cls(path, bs)
+    except RuntimeError:
+        pytest.skip("native unavailable")
+    data = rng.integers(0, 256, (6, bs)).astype(np.uint8)
+    f.write_blocks(0, data[:4])
+    f.write_blocks_at(np.asarray([5, 4]), data[4:6])
+    assert f.num_blocks == 6
+    np.testing.assert_array_equal(f.read_blocks(0, 4), data[:4])
+    np.testing.assert_array_equal(f.read_blocks_at([5, 4]), data[4:6])
+    crc = f.crc32_rows(data)
+    assert len(crc) == 6 and len(set(crc.tolist())) > 1
+    f.sync()
+    assert f.file_size() == 4096 + 6 * bs
+    f.truncate(3)
+    assert f.num_blocks == 3
+    f.close()
+    # Reopen and verify persistence.
+    f2 = cls(path, bs)
+    assert f2.num_blocks == 3
+    np.testing.assert_array_equal(f2.read_blocks(0, 3), data[:3])
+    assert f2.clean_shutdown
+    f2.close()
+
+
+def test_native_and_python_formats_interchange(tmp_path, rng):
+    if build_native() is None:
+        pytest.skip("native unavailable")
+    path = tmp_path / "x.lmd"
+    data = rng.integers(0, 256, (3, 4096)).astype(np.uint8)
+    nf = NativeBlockFile(path, 4096)
+    nf.write_blocks(0, data)
+    # CRCs agree between native table CRC and zlib.
+    crc_native = nf.crc32_rows(data)
+    nf.close()
+    pf = PyBlockFile(path, 4096, create=False)
+    np.testing.assert_array_equal(pf.read_blocks(0, 3), data)
+    np.testing.assert_array_equal(pf.crc32_rows(data), crc_native)
+    pf.close()
+
+
+# --------------------------------------------------------------------- #
+# shadow store
+
+
+def test_shadow_delta_log_and_metadata(tmp_path):
+    s = ShadowStorageService(tmp_path)
+    s.log_insert_batch([1, 2], [0, 1])
+    s.log_delete_batch([1])
+    deltas = s.pending_deltas()
+    assert [(d[1], d[2]) for d in deltas] == [
+        ("insert", 1), ("insert", 2), ("delete", 1)]
+    s.set_metadata("entry_rowid", 7)
+    assert s.get_metadata("entry_rowid") == 7
+    s.commit_checkpoint({2: 1}, [0], np.asarray([11, 22], np.uint32),
+                        {"count": 1})
+    assert s.pending_deltas() == []
+    assert s.load_lookup() == {2: 1}
+    assert s.load_tombstones() == [0]
+    assert s.load_checksums() == {0: 11, 1: 22}
+    assert s.get_metadata("merge_sequence_number") == 1
+    s.close()
+
+
+# --------------------------------------------------------------------- #
+# end-to-end checkpoint
+
+
+@pytest.mark.parametrize("metric,edge_type", [
+    (MetricType.COSINE, EdgeType.TERNARY),
+    (MetricType.L2, EdgeType.INT8),
+])
+def test_save_load_roundtrip(tmp_path, rng, metric, edge_type):
+    cfg = make_config(metric, edge_type)
+    coord = Coordinator(cfg, initial_capacity=256)
+    n = 80
+    data = rng.standard_normal((n, cfg.dimensions)).astype(np.float32)
+    rowids = [i * 10 for i in range(n)]  # non-dense rowids
+    coord.bulk_build(rowids, data)
+    coord.delete([rowids[5], rowids[17]])
+
+    d = tmp_path / "idx"
+    checkpoint.save_index(coord, d)
+    assert not coord.dirty
+    loaded = checkpoint.load_index(d)
+
+    assert loaded.count == coord.count
+    assert loaded.entry_rowid == coord.entry_rowid
+    assert loaded.allocator.rowid_to_slot == coord.allocator.rowid_to_slot
+    assert loaded.allocator.pending_deletion == coord.allocator.pending_deletion
+    valid = np.asarray(coord.arrays.valid)[:80]
+    np.testing.assert_array_equal(np.asarray(loaded.arrays.valid)[:80], valid)
+    # Dead slots serialize zeroed (tombstones keep only their slot); live
+    # rows round-trip exactly.
+    np.testing.assert_array_equal(
+        np.asarray(loaded.arrays.vectors)[:80][valid],
+        np.asarray(coord.arrays.vectors)[:80][valid])
+
+    # Search results identical pre/post round-trip.
+    q = rng.standard_normal((6, cfg.dimensions)).astype(np.float32)
+    ids0, d0 = coord.search(q, 5)
+    ids1, d1 = loaded.search(q, 5)
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_array_equal(d0, d1)
+
+    # Continue inserting after reload.
+    loaded.insert([99999], rng.standard_normal((1, cfg.dimensions)).astype(np.float32))
+    assert loaded.count == coord.count + 1
+
+
+def test_checksum_corruption_detected(tmp_path, rng):
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((20, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(20)), data)
+    d = tmp_path / "idx"
+    checkpoint.save_index(coord, d)
+    # Flip bytes in one block.
+    lay = block_codec.resolve_layout(cfg)
+    with open(d / "graph.lmd", "r+b") as f:
+        f.seek(4096 + 3 * lay.block_size + 100)
+        f.write(b"\xff\xff\xff\xff")
+    with pytest.raises(checkpoint.IndexCorruptionError):
+        checkpoint.load_index(d)
+    # Marked broken now; subsequent loads refuse too.
+    with pytest.raises(checkpoint.IndexCorruptionError):
+        checkpoint.load_index(d, verify_checksums=False)
+    # Last resort: rebuild from the base table.
+    primary = PrimaryStorageService.from_array(list(range(20)), data)
+    rebuilt = checkpoint.rebuild_from_primary(cfg, primary, list(range(20)), d)
+    assert rebuilt.count == 20
+    loaded = checkpoint.load_index(d)
+    assert loaded.count == 20
+
+
+def test_crash_recovery_replays_deltas(tmp_path, rng):
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((30, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(20)), data[:20])
+    d = tmp_path / "idx"
+    checkpoint.save_index(coord, d)
+
+    # Simulate post-checkpoint mutations whose blocks never hit graph.lmd:
+    # log deltas in the shadow store only (what the wired shadow service
+    # does during normal operation).
+    s = ShadowStorageService(d)
+    s.log_insert_batch([20, 21], [20, 21])
+    s.log_delete_batch([3])
+    s.close()
+
+    loaded = checkpoint.load_index(d)
+    assert loaded.needs_recovery
+    primary = PrimaryStorageService.from_array(list(range(30)), data)
+    replayed = checkpoint.recover(loaded, primary, d)
+    assert replayed == 3
+    assert 20 in loaded.allocator.rowid_to_slot
+    assert 21 in loaded.allocator.rowid_to_slot
+    assert 3 not in loaded.allocator.rowid_to_slot
+    # Recovery checkpointed: a fresh load is clean.
+    clean = checkpoint.load_index(d)
+    assert not clean.needs_recovery
+    assert clean.count == loaded.count
+
+
+def test_shadow_service_wired_into_coordinator(tmp_path, rng):
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    coord.shadow_service = ShadowStorageService(tmp_path)
+    data = rng.standard_normal((5, cfg.dimensions)).astype(np.float32)
+    coord.insert(list(range(5)), data)
+    coord.delete([2])
+    ops = [(d[1], d[2]) for d in coord.shadow_service.pending_deltas()]
+    assert ("insert", 0) in ops and ("delete", 2) in ops
+    coord.shadow_service.close()
