@@ -1,0 +1,294 @@
+"""Database / Table surface: catalog, DML hooks, pragmas, and macros.
+
+The top of the stack — the analog of the reference's extension registration
+(``lm_diskann_init`` / ``LmDiskannExtension::Load``,
+src/lm_diskann_extension.cpp:15-36, which registers the L5 modules) plus the
+catalog/table plumbing DuckDB provides. A :class:`Database` owns tables and
+their vector indexes; DML on a table flows through the index hooks exactly
+like DuckDB's BoundIndex callbacks (Append/Insert/Delete/Vacuum/CommitDrop).
+
+Also provides:
+  - ``pragma_lm_diskann_index_info()`` — the pragma_hnsw_index_info table
+    function (hnsw_index_pragmas.cpp:22-61,195-202)
+  - ``lm_diskann_compact_index`` — the compaction pragma (:154-190)
+  - ``lm_diskann_match`` / ``lm_diskann_join`` — the brute-force table
+    macros (hnsw_index_macros.cpp:10-113)
+  - ``knn`` / ``knn_join`` — the optimized query entry points that build a
+    logical plan, run the optimizer rewrites, and execute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..common.types import MetricType
+from ..ops import distance as dist_ops
+from . import planner
+from .functions import ColumnRef, Const, FunctionExpr, evaluate_distance
+from .index import LmDiskannIndex
+
+
+class Table:
+    """A columnar table with int64 row ids (DataChunk-of-arrays analog)."""
+
+    def __init__(self, name: str, columns: dict[str, np.ndarray]):
+        self.name = name
+        sizes = {len(v) for v in columns.values()}
+        if len(sizes) > 1:
+            raise ValueError("column length mismatch")
+        n = sizes.pop() if sizes else 0
+        self.columns = {k: np.asarray(v) for k, v in columns.items()}
+        self.row_ids = np.arange(n, dtype=np.int64)
+        self._rowid_to_pos = {int(r): i for i, r in enumerate(self.row_ids)}
+        self._next_rowid = n
+        self.indexes: dict[str, "BoundTableIndex"] = {}
+
+    @property
+    def count(self) -> int:
+        return len(self.row_ids)
+
+    def fetch(self, rowids, column: str) -> np.ndarray:
+        pos = [self._rowid_to_pos[int(r)] for r in rowids]
+        return self.columns[column][pos]
+
+    # --- DML with index maintenance (the BoundIndex hook wiring) ---
+
+    def insert(self, values: dict[str, np.ndarray]) -> np.ndarray:
+        lengths = {len(v) for v in values.values()}
+        n = lengths.pop()
+        new_ids = np.arange(self._next_rowid, self._next_rowid + n, dtype=np.int64)
+        self._next_rowid += n
+        for k in self.columns:
+            self.columns[k] = np.concatenate([self.columns[k], np.asarray(values[k])])
+        for i, r in enumerate(new_ids):
+            self._rowid_to_pos[int(r)] = len(self.row_ids) + i
+        self.row_ids = np.concatenate([self.row_ids, new_ids])
+        for bidx in self.indexes.values():
+            bidx.index.insert(new_ids.tolist(), np.asarray(values[bidx.column]))
+        return new_ids
+
+    def delete(self, rowids) -> None:
+        keep = ~np.isin(self.row_ids, rowids)
+        for k in self.columns:
+            self.columns[k] = self.columns[k][keep]
+        self.row_ids = self.row_ids[keep]
+        self._rowid_to_pos = {int(r): i for i, r in enumerate(self.row_ids)}
+        for bidx in self.indexes.values():
+            bidx.index.delete(list(rowids))
+
+
+@dataclasses.dataclass
+class BoundTableIndex:
+    column: str
+    index: LmDiskannIndex
+
+
+class Database:
+    """Catalog of tables + the registered lm_diskann extension surface."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path  # None -> in-memory (no persistence dirs)
+        self.tables: dict[str, Table] = {}
+
+    # --- catalog ---
+
+    def create_table(self, name: str, columns: dict[str, np.ndarray]) -> Table:
+        if name in self.tables:
+            raise KeyError(f"table {name} exists")
+        t = Table(name, columns)
+        self.tables[name] = t
+        return t
+
+    def create_index(
+        self,
+        index_name: str,
+        table: "str | Table",
+        column: str,
+        options: dict | None = None,
+    ) -> LmDiskannIndex:
+        """CREATE INDEX ... USING LM_DISKANN(col) WITH (...) — validates
+        options, derives dims/dtype from the column, bulk-builds from
+        existing rows (HNSWIndex::CreatePlan + PhysicalCreateHNSWIndex
+        semantics, hnsw_index_plan.cpp:17-160)."""
+        t = self.tables[table] if isinstance(table, str) else table
+        data = t.columns[column]
+        if data.ndim != 2:
+            raise TypeError("index column must be a fixed-size ARRAY column")
+        idx = LmDiskannIndex(
+            index_name,
+            data.dtype,
+            data.shape[1],
+            options=options,
+            db_path=self.path,
+        )
+        # IS NOT NULL filter of the create plan: rows with NaNs are skipped
+        # (the reference's projection + null filter, hnsw_index_plan.cpp).
+        finite = np.isfinite(data).all(axis=1)
+        if finite.any():
+            idx.coordinator.bulk_build(
+                t.row_ids[finite].tolist(), data[finite].astype(np.float32)
+            )
+        t.indexes[index_name] = BoundTableIndex(column, idx)
+        return idx
+
+    def drop_index(self, table: "str | Table", index_name: str) -> None:
+        t = self.tables[table] if isinstance(table, str) else table
+        bidx = t.indexes.pop(index_name)
+        bidx.index.commit_drop()
+
+    # --- query surface ---
+
+    def knn(
+        self,
+        table: "str | Table",
+        column: str,
+        query: np.ndarray,
+        k: int,
+        metric: "str | MetricType" = MetricType.L2,
+        filter=None,
+        return_plan: bool = False,
+    ):
+        """SELECT * FROM t ORDER BY dist(col, q) LIMIT k — builds the TopN
+        plan, runs the optimizer (index rewrite if a matching index exists),
+        executes."""
+        t = self.tables[table] if isinstance(table, str) else table
+        metric = MetricType.parse(metric)
+        fn_name = {
+            MetricType.L2: "array_distance",
+            MetricType.COSINE: "array_cosine_distance",
+            MetricType.IP: "array_negative_inner_product",
+        }[metric]
+        expr = FunctionExpr(
+            fn_name, (ColumnRef(column), Const(np.asarray(query, np.float32)))
+        )
+        plan = planner.LogicalTopN(
+            planner.LogicalGet(t, filter=filter), expr, k
+        )
+        optimized = planner.optimize(plan)
+        result = planner.execute(optimized)
+        result.pop("_table", None)
+        if return_plan:
+            return result, optimized
+        return result
+
+    def knn_join(
+        self,
+        left_table: "str | Table",
+        left_column: str,
+        right_queries: np.ndarray,
+        k: int,
+    ):
+        """Lateral top-k join: for each RHS query vector, the k nearest LHS
+        rows with 1-indexed rank — executed as one batched MultiScan
+        (hnsw_optimize_join.cpp / hnsw_index.cpp:336-378)."""
+        t = self.tables[left_table] if isinstance(left_table, str) else left_table
+        index = None
+        for bidx in t.indexes.values():
+            if bidx.column == left_column:
+                index = bidx.index
+                break
+        if index is None:
+            # Brute-force macro fallback (lm_diskann_join,
+            # hnsw_index_macros.cpp).
+            return self.lm_diskann_join(
+                t, left_column, np.atleast_2d(right_queries), k,
+                index_metric_or_default(t, left_column),
+            )
+        plan = planner.LogicalKnnJoin(
+            left_index=index,
+            left_table=t,
+            right_queries=np.atleast_2d(right_queries),
+            k=k,
+        )
+        return planner.execute(plan)
+
+    # --- table macros (brute force; hnsw_index_macros.cpp:10-113) ---
+
+    def lm_diskann_match(
+        self, table, column, query, k, metric=MetricType.L2
+    ) -> dict:
+        """Brute-force top-k of one query (min_by semantics)."""
+        t = self.tables[table] if isinstance(table, str) else table
+        metric = MetricType.parse(metric)
+        d = evaluate_distance(metric, t.columns[column], np.asarray(query, np.float32))
+        order = np.lexsort((t.row_ids, d))[:k]
+        return {"row_ids": t.row_ids[order], "distance": d[order]}
+
+    def lm_diskann_join(self, table, column, queries, k, metric=MetricType.L2):
+        """Brute-force batched join macro."""
+        t = self.tables[table] if isinstance(table, str) else table
+        out = {"query_index": [], "row_ids": [], "distance": [], "rank": []}
+        for qi, q in enumerate(np.atleast_2d(queries)):
+            r = self.lm_diskann_match(t, column, q, k, metric)
+            n = len(r["row_ids"])
+            out["query_index"].extend([qi] * n)
+            out["row_ids"].extend(r["row_ids"].tolist())
+            out["distance"].extend(r["distance"].tolist())
+            out["rank"].extend(range(1, n + 1))
+        return {k_: np.asarray(v) for k_, v in out.items()}
+
+    # --- pragmas (hnsw_index_pragmas.cpp) ---
+
+    def pragma_lm_diskann_index_info(self) -> list[dict]:
+        """pragma_hnsw_index_info() analog: one row per index with
+        catalog/metric/dims/count/capacity/memory stats (:22-61)."""
+        rows = []
+        for tname, t in self.tables.items():
+            for iname, bidx in t.indexes.items():
+                cfg = bidx.index.config
+                info = bidx.index.get_storage_info()
+                coord = bidx.index.coordinator
+                st = coord.last_search_stats
+                rows.append({
+                    "catalog_name": self.path or "memory",
+                    "table_name": tname,
+                    "index_name": iname,
+                    "column_name": bidx.column,
+                    "metric": cfg.metric_type.value,
+                    "edge_type": cfg.resolve_edge_type().value,
+                    "dimensions": cfg.dimensions,
+                    "r": cfg.r,
+                    "l_insert": cfg.l_insert,
+                    "l_search": cfg.l_search,
+                    "alpha": cfg.alpha,
+                    "count": info["count"],
+                    "capacity": info["capacity"],
+                    "approx_memory_size": info["in_memory_size"],
+                    "block_size": info["block_size"],
+                    "pending_deletes": len(coord.allocator.pending_deletion),
+                    "last_search": st.explain() if st else None,
+                })
+        return rows
+
+    def lm_diskann_compact_index(self, index_name: str) -> int:
+        """Compaction pragma (hnsw_compact_index, :154-190): vacuum the
+        deletion queue, recycling slots."""
+        for t in self.tables.values():
+            if index_name in t.indexes:
+                return t.indexes[index_name].index.vacuum()
+        raise KeyError(f"no index named {index_name}")
+
+    def checkpoint(self) -> None:
+        """DB checkpoint: persist all dirty indexes (GetStorageInfo /
+        PersistToDisk path, hnsw_index.cpp:502-546)."""
+        if self.path is None:
+            return
+        for t in self.tables.values():
+            for bidx in t.indexes.values():
+                if bidx.index.coordinator.dirty:
+                    bidx.index.persist_to_disk()
+
+
+def index_metric_or_default(table: Table, column: str) -> MetricType:
+    for bidx in table.indexes.values():
+        if bidx.column == column:
+            return bidx.index.config.metric_type
+    return MetricType.L2
+
+
+def connect(path: str | None = None) -> Database:
+    """Open a database — the extension entry point analog
+    (lm_diskann_init)."""
+    return Database(path)

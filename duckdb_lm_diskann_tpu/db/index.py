@@ -1,0 +1,200 @@
+"""LmDiskannIndex: the bound-index adapter + scan state.
+
+TPU-native re-design of ``db::LmDiskannIndex`` (src/lm_diskann/db/
+LmDiskannIndex.{hpp,cpp}), the DuckDB BoundIndex adapter that:
+
+  - parses WITH (METRIC, R, L_INSERT, ALPHA, L_SEARCH) options (:72-110)
+  - derives dims + vector dtype from the ARRAY column type (:137-154)
+  - computes the layout + sector-aligned block size (:160-162)
+  - creates the per-index directory ``<db>.lmd_idx/<index>/`` (:165-235)
+  - wires up the Coordinator with injected services (:170-190)
+  - forwards Append/Insert/Delete/Vacuum/Scan to the Coordinator
+
+and of ``db::LmDiskannScanState`` (db/LmDiskannScanState.hpp:34-60): a
+per-query scan state holding the query vector, k, l_search, and a result
+buffer drained across successive Scan() calls.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+from ..common.types import VectorType
+from ..core.config import parse_options
+from ..core.coordinator import Coordinator
+from ..store import checkpoint
+from ..store.block_codec import resolve_layout
+from ..store.shadow import ShadowStorageService
+from . import settings
+
+
+class LmDiskannScanState:
+    """Per-query scan state: result row ids drained chunk-by-chunk
+    (LmDiskannScanState.hpp:34-60)."""
+
+    def __init__(self, query: np.ndarray, k: int, l_search: int | None):
+        self.query = np.asarray(query, np.float32)
+        self.k = int(k)
+        self.l_search = l_search
+        self.row_ids: np.ndarray | None = None  # filled on first Scan
+        self.distances: np.ndarray | None = None
+        self.offset = 0
+
+    @property
+    def exhausted(self) -> bool:
+        return self.row_ids is not None and self.offset >= len(self.row_ids)
+
+
+class LmDiskannIndex:
+    """Bound vector index over one table column."""
+
+    def __init__(
+        self,
+        name: str,
+        column_dtype,
+        dimensions: int,
+        options: dict | None = None,
+        db_path: str | None = None,
+        persist: bool = True,
+    ):
+        self.name = name
+        config = parse_options(options)
+        # Dimensions/dtype derive from the column type, never from options
+        # (db/LmDiskannIndex.cpp:137-154).
+        config.dimensions = int(dimensions)
+        config.node_vector_type = VectorType.from_dtype(column_dtype)
+        if config.node_vector_type is VectorType.UNKNOWN:
+            raise TypeError(
+                "LM_DISKANN index requires ARRAY(FLOAT, N) or "
+                "ARRAY(TINYINT, N) column (float32/int8 dtype)"
+            )
+        config.validate()
+        self.config = config
+        self.layout = resolve_layout(config)  # block size parity check
+
+        # Per-index directory <db>.lmd_idx/<index>/ (:165-235).
+        self.directory: Path | None = None
+        self.persist = persist
+        if db_path is not None:
+            self.directory = Path(f"{db_path}.lmd_idx") / name
+            self.directory.mkdir(parents=True, exist_ok=True)
+
+        if self.directory is not None and (
+            self.directory / "diskann_store.db"
+        ).exists():
+            try:
+                self.coordinator = checkpoint.load_index(self.directory)
+                self.coordinator.config = self.config  # options may differ
+            except FileNotFoundError:
+                self.coordinator = Coordinator(config)
+        else:
+            self.coordinator = Coordinator(config)
+        if self.directory is not None:
+            self.coordinator.shadow_service = ShadowStorageService(self.directory)
+
+    # --- DML forwarding (BoundIndex hooks) ---
+
+    def append(self, rowids, vectors) -> None:
+        """Append a chunk (LmDiskannIndex::Append, :350-376 — the reference
+        loops row-by-row over Insert; here a batch goes down in one call)."""
+        self.coordinator.insert(rowids, vectors)
+
+    def insert(self, rowids, vectors) -> None:
+        self.coordinator.insert(rowids, vectors)
+
+    def delete(self, rowids) -> int:
+        return self.coordinator.delete(rowids)
+
+    def vacuum(self) -> int:
+        return self.coordinator.vacuum()
+
+    def commit_drop(self) -> None:
+        """CommitDrop (:508-514 / Coordinator.cpp:319-351): drop all state
+        and remove the index directory."""
+        self.coordinator.handle_commit_drop()
+        if self.directory is not None and self.directory.exists():
+            shutil.rmtree(self.directory)
+
+    # --- scan surface (InitializeScan/Scan, :639-724) ---
+
+    def initialize_scan(
+        self, query: np.ndarray, k: int, l_search: int | None = None
+    ) -> LmDiskannScanState:
+        query = np.asarray(query, np.float32).reshape(-1)
+        if query.shape[0] != self.config.dimensions:
+            raise ValueError(
+                f"query dimension {query.shape[0]} != index dimension "
+                f"{self.config.dimensions}"
+            )
+        return LmDiskannScanState(query, k, l_search)
+
+    def scan(self, state: LmDiskannScanState, max_rows: int = 2048) -> np.ndarray:
+        """Drain up to max_rows result row ids (Scan, :677-724)."""
+        if state.row_ids is None:
+            L = settings.effective_l_search(
+                self.config.l_search, state.l_search
+            )
+            ids, dists = self.coordinator.search(
+                state.query[None, :], state.k, l_search=L
+            )
+            keep = ids[0] >= 0
+            state.row_ids = ids[0][keep]
+            state.distances = dists[0][keep]
+        chunk = state.row_ids[state.offset : state.offset + max_rows]
+        state.offset += len(chunk)
+        return chunk
+
+    def search(self, queries, k: int, l_search: int | None = None):
+        """Batched search (the MultiScan analog, hnsw_index.cpp:336-378)."""
+        L = settings.effective_l_search(self.config.l_search, l_search)
+        return self.coordinator.search(np.atleast_2d(queries), k, l_search=L)
+
+    # --- persistence (GetStorageInfo / checkpoint, :516-531) ---
+
+    def persist_to_disk(self) -> None:
+        if self.directory is None:
+            raise RuntimeError("in-memory index has no directory")
+        if not settings.get_option("lm_diskann_enable_persistence"):
+            return
+        checkpoint.save_index(self.coordinator, self.directory)
+
+    def get_storage_info(self) -> dict:
+        """GetStorageInfo (:516-531) + GetInMemorySize accounting."""
+        return {
+            "name": self.name,
+            "count": self.coordinator.count,
+            "capacity": self.coordinator.capacity,
+            "in_memory_size": self.coordinator.get_in_memory_size(),
+            "block_size": self.layout.block_size,
+            "dirty": self.coordinator.dirty,
+            "directory": str(self.directory) if self.directory else None,
+        }
+
+    def verify_and_to_string(self, only_verify: bool = False) -> str:
+        """VerifyAndToString (:576-604): structural verification + dump."""
+        coord = self.coordinator
+        nbrs = np.asarray(coord.arrays.neighbors)
+        valid = np.asarray(coord.arrays.valid)
+        problems = []
+        for rowid, slot in coord.allocator.rowid_to_slot.items():
+            if not valid[slot]:
+                problems.append(f"live row {rowid} slot {slot} not valid")
+        if coord.count and coord.entry_slot >= 0 and not valid[coord.entry_slot]:
+            problems.append("entry point is tombstoned")
+        if problems:
+            raise AssertionError("; ".join(problems))
+        if only_verify:
+            return ""
+        live = sorted(coord.allocator.slot_to_rowid)
+        degrees = [(nbrs[s] >= 0).sum() for s in live]
+        return (
+            f"LmDiskannIndex {self.name}: count={coord.count} "
+            f"capacity={coord.capacity} entry_rowid={coord.entry_rowid} "
+            f"metric={self.config.metric_type.value} "
+            f"edge_type={self.config.resolve_edge_type().value} "
+            f"R={self.config.r} mean_degree="
+            f"{float(np.mean(degrees)) if degrees else 0:.2f}"
+        )
