@@ -1,0 +1,141 @@
+"""Benchmark: batched LM-DiskANN beam-search QPS on one chip.
+
+Headline config mirrors BASELINE.json config #1 (SIFT-like: 128-d float32,
+L2, top-10, L_search=100) on clustered synthetic vectors (zero-egress
+environment — real SIFT is not fetchable; clustered gaussians reproduce the
+cluster structure that makes ANN benchmarks meaningful).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+
+vs_baseline compares against the ancestor DiskANN system's published
+single-node figure of >5000 QPS at >0.95 recall (BASELINE.md row 1 /
+docs/Understanding-and-Implementing-LM-DiskANN:9) — the only absolute
+throughput number published anywhere in the reference.
+
+Environment knobs: BENCH_N (default 100000), BENCH_BATCH (256),
+BENCH_QUERIES (2048), BENCH_L (100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_lm_diskann_tpu.common.types import MetricType, VectorType
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search
+    from duckdb_lm_diskann_tpu.ops.distance import all_pairs_distance
+
+    n = int(os.environ.get("BENCH_N", 100_000))
+    dims = int(os.environ.get("BENCH_D", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 2048))
+    l_search = int(os.environ.get("BENCH_L", 100))
+    k = 10
+
+    rng = np.random.default_rng(0xBE7C4)
+    n_clusters = max(64, n // 1000)
+    centers = rng.standard_normal((n_clusters, dims)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    data = centers[assign] + 0.15 * rng.standard_normal((n, dims)).astype(
+        np.float32
+    )
+    qidx = rng.integers(0, n, n_queries)
+    queries = data[qidx] + 0.05 * rng.standard_normal(
+        (n_queries, dims)
+    ).astype(np.float32)
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2,
+        r=64,
+        l_insert=128,
+        alpha=1.2,
+        l_search=l_search,
+        dimensions=dims,
+        node_vector_type=VectorType.FLOAT32,
+    )
+    cfg.validate()
+
+    t0 = time.perf_counter()
+    coord = Coordinator(cfg, initial_capacity=n)
+    coord.bulk_build(list(range(n)), data, max_batch=1024)
+    build_s = time.perf_counter() - t0
+
+    L = max(l_search, k)
+    q_dev = jnp.asarray(queries)
+
+    def run_batch(qb):
+        return beam_search(
+            coord.arrays,
+            qb,
+            jnp.int32(coord.entry_slot),
+            params=coord.params,
+            l_search=L,
+            k=k,
+        )
+
+    # Warmup + compile.
+    res = run_batch(q_dev[:batch])
+    jax.block_until_ready(res)
+
+    # Timed loop over all query batches (device-resident queries).
+    n_batches = n_queries // batch
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_batches):
+        outs.append(run_batch(q_dev[i * batch : (i + 1) * batch]))
+    jax.block_until_ready(outs)
+    elapsed = time.perf_counter() - t0
+    qps = n_batches * batch / elapsed
+
+    # Recall@10 vs exact brute force (device matmul, chunked).
+    all_ids = np.concatenate([np.asarray(o.topk_slots) for o in outs])
+    hits = 0
+    bf_chunk = 512
+    for i in range(0, n_batches * batch, bf_chunk):
+        qs = q_dev[i : i + bf_chunk]
+        d = all_pairs_distance(qs, coord.arrays.vectors[:n], MetricType.L2)
+        truth = np.asarray(
+            jax.lax.top_k(-d, k)[1]
+        )  # k smallest by negated distance
+        for b in range(truth.shape[0]):
+            hits += len(
+                set(all_ids[i + b].tolist()) & set(truth[b].tolist())
+            )
+    recall = hits / (n_batches * batch * k)
+
+    mean_visits = float(
+        np.mean([np.asarray(o.visited_count).mean() for o in outs])
+    )
+
+    result = {
+        "metric": f"QPS/chip SIFT-like-{n//1000}k d{dims} L2 top-10 "
+        f"(recall@10={recall:.3f}, L={L})",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 5000.0, 3),
+        "extra": {
+            "recall_at_10": round(recall, 4),
+            "build_seconds": round(build_s, 1),
+            "mean_visits_per_query": round(mean_visits, 1),
+            "batch": batch,
+            "n_vectors": n,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

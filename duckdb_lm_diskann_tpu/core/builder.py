@@ -169,11 +169,12 @@ def store_vectors(
 ) -> GraphArrays:
     """Store node vectors + mark slots live (AddNode steps 1-3,
     GraphManager.cpp:73-113, minus the reference's int8 placeholder cast
-    quirk — SURVEY Appendix B)."""
+    quirk — SURVEY Appendix B). Slots < 0 are dropped (shape padding)."""
+    idx = jnp.where(slots >= 0, slots, arrays.capacity)
     return arrays._replace(
-        vectors=arrays.vectors.at[slots].set(vecs.astype(jnp.float32)),
-        valid=arrays.valid.at[slots].set(True),
-        neighbors=arrays.neighbors.at[slots].set(-1),
+        vectors=arrays.vectors.at[idx].set(vecs.astype(jnp.float32), mode="drop"),
+        valid=arrays.valid.at[idx].set(True, mode="drop"),
+        neighbors=arrays.neighbors.at[idx].set(-1, mode="drop"),
     )
 
 
@@ -184,16 +185,28 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
     return p
 
 
+# Shape discipline: XLA compiles are expensive (tens of seconds for the
+# prune program on TPU), so the reciprocal pass admits exactly TWO shapes —
+# a small one for sequential/dynamic inserts and one chunk size for bulk
+# builds; larger target sets split into multiple shape-identical rounds.
+# New-candidate width is fixed at _A_CAP with overflow rounds.
+_T_SMALL = 64
+_T_CHUNK = 4096
+_A_CAP = 8
+
+
 def group_reciprocal_targets(
     new_slots: np.ndarray, sel: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+) -> list[tuple[np.ndarray, np.ndarray]]:
     """Group (target <- new node) reciprocal edges by target.
 
-    Returns (targets [U], new_cands [U, A]) with -1 padding; targets sorted
-    ascending, candidates per target sorted ascending — the deterministic
-    batched merge for the scattered writes the reference serializes under
-    IndexLock (SURVEY §7.3 "graph mutation on device").
-    Shapes are padded to power-of-two buckets to bound jit recompilation.
+    Returns a list of ROUNDS [(targets [U], new_cands [U, A]), ...] with -1
+    padding; targets sorted ascending, candidates per target sorted
+    ascending — the deterministic batched merge for the scattered writes the
+    reference serializes under IndexLock (SURVEY §7.3). Rounds are applied
+    sequentially (each sees the previous round's updated lists, like the
+    reference's sequential reciprocal loop); shapes come from fixed buckets
+    so a steady-state build compiles the prune kernel once.
     """
     groups: dict[int, list[int]] = {}
     for m in range(sel.shape[0]):
@@ -203,18 +216,55 @@ def group_reciprocal_targets(
             if t >= 0:
                 groups.setdefault(t, []).append(src)
     if not groups:
-        return np.empty((0,), np.int32), np.empty((0, 1), np.int32)
+        return []
     targets = sorted(groups)
-    a_max = max(len(v) for v in groups.values())
-    U = _pow2_at_least(len(targets))
-    A = _pow2_at_least(a_max)
-    tgt_arr = np.full(U, -1, np.int32)
-    cand_arr = np.full((U, A), -1, np.int32)
-    for i, t in enumerate(targets):
-        tgt_arr[i] = t
-        srcs = sorted(groups[t])
-        cand_arr[i, : len(srcs)] = srcs
-    return tgt_arr, cand_arr
+    for t in targets:
+        groups[t] = sorted(groups[t])
+    # Flatten to (target, candidate-chunk) work items; duplicates of a
+    # target across chunks land in DIFFERENT rounds (sequential semantics).
+    items: list[list[tuple[int, list[int]]]] = []
+    round_idx = 0
+    while True:
+        rows = [
+            (t, groups[t][round_idx * _A_CAP : (round_idx + 1) * _A_CAP])
+            for t in targets
+        ]
+        rows = [(t, c) for t, c in rows if c]
+        if not rows:
+            break
+        items.append(rows)
+        round_idx += 1
+
+    rounds = []
+    for rows in items:
+        # Chunk each logical round into fixed-shape pieces (a target never
+        # repeats within one logical round, so chunks may run sequentially
+        # without ordering hazards).
+        U = _T_SMALL if len(rows) <= _T_SMALL else _T_CHUNK
+        for off in range(0, len(rows), U):
+            chunk = rows[off : off + U]
+            tgt_arr = np.full(U, -1, np.int32)
+            cand_arr = np.full((U, _A_CAP), -1, np.int32)
+            for i, (t, cands) in enumerate(chunk):
+                tgt_arr[i] = t
+                cand_arr[i, : len(cands)] = cands
+            rounds.append((tgt_arr, cand_arr))
+    return rounds
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _reciprocal_round(
+    arrays: GraphArrays,
+    tgt: jnp.ndarray,  # i32[U] (-1 padded)
+    new_cands: jnp.ndarray,  # i32[U, A]
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    safe_t = jnp.maximum(tgt, 0)
+    tgt_vecs = arrays.vectors[safe_t]
+    cand2 = jnp.concatenate([arrays.neighbors[safe_t], new_cands], axis=1)
+    sel2 = batched_robust_prune(arrays, tgt_vecs, cand2, tgt, params=params)
+    return write_neighbor_rows(arrays, tgt, sel2, params=params)
 
 
 def insert_batch(
@@ -223,16 +273,32 @@ def insert_batch(
     new_vecs: np.ndarray,  # f32[M, D]
     entry_slot: int,
     params: GraphParams,
+    pad_to: int | None = None,
 ) -> GraphArrays:
     """Insert a batch of nodes into the graph (device arrays functional
-    update). Caller owns slot allocation and capacity growth."""
+    update). Caller owns slot allocation and capacity growth.
+
+    ``pad_to`` pads the batch with masked dummy rows so repeated calls share
+    ONE compiled shape (ramp batches during bulk build would otherwise each
+    trigger a multi-second XLA compile of the search loop).
+    """
+    M = len(new_slots)
+    pad = (pad_to or _pow2_at_least(M)) - M
+    new_slots = np.concatenate(
+        [np.asarray(new_slots, np.int32), np.full(pad, -1, np.int32)]
+    )
+    new_vecs = np.asarray(new_vecs, np.float32)
+    if pad:
+        new_vecs = np.concatenate(
+            [new_vecs, np.broadcast_to(new_vecs[:1], (pad, new_vecs.shape[1]))]
+        )
     new_slots_d = jnp.asarray(new_slots, jnp.int32)
     new_vecs_d = jnp.asarray(new_vecs, jnp.float32)
     arrays = store_vectors(arrays, new_slots_d, new_vecs_d)
     if entry_slot < 0:
         # First batch bootstrap: node 0 of the batch becomes the entry point
         # with no neighbors (AddNode first-node path, GraphManager.cpp:118-121).
-        if len(new_slots) == 1:
+        if M == 1:
             return arrays
         raise ValueError("first insert into an empty graph must be a single node")
 
@@ -249,25 +315,21 @@ def insert_batch(
     sel = batched_robust_prune(
         arrays, new_vecs_d, res.topk_slots, new_slots_d, params=params
     )
+    # Padded rows carry slot -1 -> dropped by write_neighbor_rows.
     arrays = write_neighbor_rows(arrays, new_slots_d, sel, params=params)
 
     # Pass 2: reciprocal interconnect (GraphManager.cpp:161-200 /
-    # vectordiskann.c:1588-1606), grouped by target.
-    tgt, new_cands = group_reciprocal_targets(
-        np.asarray(new_slots, np.int32), np.asarray(sel)
-    )
-    if len(tgt):
-        tgt_d = jnp.asarray(tgt, jnp.int32)
-        safe_t = jnp.maximum(tgt_d, 0)
-        tgt_vecs = arrays.vectors[safe_t]
-        cand2 = jnp.concatenate(
-            [arrays.neighbors[safe_t], jnp.asarray(new_cands, jnp.int32)],
-            axis=1,
+    # vectordiskann.c:1588-1606), grouped by target, bucketed shapes,
+    # sequential rounds for duplicate targets.
+    for tgt, new_cands in group_reciprocal_targets(
+        new_slots[:M], np.asarray(sel[:M])
+    ):
+        arrays = _reciprocal_round(
+            arrays,
+            jnp.asarray(tgt, jnp.int32),
+            jnp.asarray(new_cands, jnp.int32),
+            params=params,
         )
-        sel2 = batched_robust_prune(
-            arrays, tgt_vecs, cand2, tgt_d, params=params
-        )
-        arrays = write_neighbor_rows(arrays, tgt_d, sel2, params=params)
     return arrays
 
 

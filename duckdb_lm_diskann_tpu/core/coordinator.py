@@ -64,6 +64,7 @@ class Coordinator:
         self._slot_rowids = np.full(capacity, INVALID_ROW_ID, np.int64)
         self.dirty: bool = False
         self.max_insert_batch: int = 1024
+        self._pad_bulk: bool = False
         self.last_search_stats: SearchStats | None = None
         # Optional services injected by the db/store layers (the ctor
         # injection of Coordinator.hpp:46-48).
@@ -147,6 +148,10 @@ class Coordinator:
                     vectors[offset : offset + step],
                     self.entry_slot,
                     self.params,
+                    # Bulk builds pad every (ramp) batch to one pinned shape
+                    # so the whole build compiles the search/prune programs
+                    # exactly once.
+                    pad_to=self.max_insert_batch if self._pad_bulk else None,
                 )
                 offset += step
                 graph_size += step
@@ -175,10 +180,13 @@ class Coordinator:
         batch ramping generalizes."""
         old = self.max_insert_batch
         self.max_insert_batch = max_batch
+        self._pad_bulk = True
         try:
             self.insert(rowids, np.atleast_2d(vectors))
         finally:
             self.max_insert_batch = old
+            self._pad_bulk = False
+        self.set_entry_to_medoid()
 
     # ------------------------------------------------------------------ #
     # search (Coordinator::Search, Coordinator.cpp:63-102)
@@ -290,6 +298,29 @@ class Coordinator:
             self.entry_slot, self.entry_rowid = self._select_fallback_entry()
         self.dirty = True
         return len(present)
+
+    def set_entry_to_medoid(self) -> None:
+        """Move the entry point to the medoid (closest live node to the
+        dataset mean) — the classic DiskANN entry choice, improving
+        long-range navigability over first-inserted-node. The reference
+        keeps first-node/random entry (GraphManager.cpp:118-121, :564-621);
+        medoid is a strict quality improvement and stays deterministic."""
+        if self.count == 0:
+            return
+        import jax.numpy as jnp
+
+        valid = self.arrays.valid
+        vecs = self.arrays.vectors
+        cnt = jnp.maximum(jnp.sum(valid), 1)
+        mean = jnp.sum(
+            jnp.where(valid[:, None], vecs, 0.0), axis=0
+        ) / cnt.astype(jnp.float32)
+        d = jnp.sum((vecs - mean[None, :]) ** 2, axis=-1)
+        d = jnp.where(valid, d, jnp.inf)
+        slot = int(jnp.argmin(d))
+        if slot in self.allocator.slot_to_rowid:
+            self.entry_slot = slot
+            self.entry_rowid = self.allocator.slot_to_rowid[slot]
 
     def _select_fallback_entry(self) -> tuple[int, int]:
         """Deterministic entry re-selection after the entry point dies."""

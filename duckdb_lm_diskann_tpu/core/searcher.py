@@ -268,7 +268,9 @@ def search_for_initial_candidates(
     l_insert: int,
 ) -> SearchResult:
     """Insert-path candidate search: beam search with L=k=L_insert
-    (Searcher::SearchForInitialCandidates, core/Searcher.cpp:275-294)."""
+    (Searcher::SearchForInitialCandidates, core/Searcher.cpp:275-294).
+    Visit budget is 2*L_insert: candidate quality saturates well before the
+    search-path 4x cap, and the insert search dominates build time."""
     return beam_search(
         arrays,
         queries,
@@ -276,4 +278,5 @@ def search_for_initial_candidates(
         params=params,
         l_search=l_insert,
         k=l_insert,
+        max_visits=2 * l_insert,
     )

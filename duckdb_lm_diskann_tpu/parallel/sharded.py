@@ -1,0 +1,309 @@
+"""Sharded index: multi-chip search and build over a device mesh.
+
+TPU-native scaling design (SURVEY §5 / §7.2 M4-M5; the reference has no
+distributed story to copy — this is new surface):
+
+  - The vector set is hash/round-robin partitioned into S shards; each shard
+    is an independent LM-DiskANN subgraph whose arrays live in one chip's
+    HBM (``StackedGraphArrays``: every field gains a leading [S] dim sharded
+    over the mesh's 'data' axis).
+  - Search: queries are replicated; every chip runs the SAME batched beam
+    search on its local subgraph inside ``shard_map`` (hops are lock-step
+    compiled code, no cross-chip traffic), then per-shard top-k candidate
+    sets — (global rowid, exact distance) tuples — are exchanged with ONE
+    ``all_gather`` over ICI and merged with the deterministic (dist, id)
+    sort. Exactly the candidate-exchange plan of SURVEY §2.4/§5.
+  - Result equivalence: every visited node's distance is exact at visit and
+    the final merge is a global sort, so the union-of-shards top-k equals
+    the single-graph top-k whenever per-shard recall holds (each shard
+    holds 1/S of the data and runs the same L — per-shard search is
+    *easier* than the global problem).
+  - Build: one batched insert step per shard runs under the same
+    ``shard_map`` (device-only variant of core.builder.insert_batch);
+    shards never exchange build traffic (their subgraphs are disjoint).
+
+The same code paths compile for any mesh size — 8 virtual CPU devices in
+tests, real multi-chip TPU slices in production.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..common.types import INVALID_ROW_ID
+from ..core import builder
+from ..core.config import LmDiskannConfig
+from ..core.coordinator import Coordinator
+from ..core.graph import GraphArrays, GraphParams, make_graph_arrays
+from ..core.searcher import beam_search
+from ..ops import topk as topk_ops
+from .mesh import DATA_AXIS, make_mesh
+
+
+class StackedGraphArrays(NamedTuple):
+    """GraphArrays with a leading shard dim [S, ...] + per-shard metadata."""
+
+    arrays: GraphArrays  # every field [S, ...]
+    rowids: jnp.ndarray  # i32[S, C] slot -> global rowid (-1 empty)
+    entry: jnp.ndarray  # i32[S] per-shard entry slot
+    counts: jnp.ndarray  # i32[S] live counts
+
+
+def _local(tree):
+    """Strip the leading shard dim inside shard_map (size 1 there)."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def partition_rows(n: int, n_shards: int) -> list[np.ndarray]:
+    """Round-robin (hash-mod) partition of row indices -> per-shard lists."""
+    return [np.arange(n)[i::n_shards] for i in range(n_shards)]
+
+
+class ShardedIndex:
+    """Host-side owner of per-shard Coordinators + the stacked device state.
+
+    Build happens per shard (disjoint subgraphs), then shards are stacked
+    and placed with a leading-dim sharding so each lives on its own chip.
+    """
+
+    def __init__(self, config: LmDiskannConfig, mesh=None):
+        config.validate()
+        self.config = config
+        self.params = GraphParams.from_config(config)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.devices.size
+        self.coordinators = [Coordinator(config) for _ in range(self.n_shards)]
+        self._stacked: StackedGraphArrays | None = None
+
+    def build(self, rowids, vectors: np.ndarray, max_batch: int = 1024) -> None:
+        vectors = np.ascontiguousarray(np.atleast_2d(vectors), np.float32)
+        rowids = np.asarray(rowids, np.int64)
+        parts = partition_rows(len(rowids), self.n_shards)
+        for s, part in enumerate(parts):
+            if len(part):
+                self.coordinators[s].bulk_build(
+                    rowids[part].tolist(), vectors[part], max_batch=max_batch
+                )
+        self._stacked = None  # invalidate device stack
+
+    def insert(self, rowids, vectors: np.ndarray) -> None:
+        """Dynamic insert: route new rows to the smallest shards."""
+        vectors = np.atleast_2d(np.asarray(vectors, np.float32))
+        order = np.argsort([c.count for c in self.coordinators], kind="stable")
+        parts = np.array_split(np.arange(len(vectors)), self.n_shards)
+        for s, part in zip(order, parts):
+            if len(part):
+                self.coordinators[s].insert(
+                    [int(rowids[i]) for i in part], vectors[part]
+                )
+        self._stacked = None
+
+    def delete(self, rowids) -> int:
+        n = 0
+        for c in self.coordinators:
+            n += c.delete(rowids)
+        self._stacked = None
+        return n
+
+    # ----------------------------------------------------------------- #
+    # device state
+
+    def stacked(self) -> StackedGraphArrays:
+        if self._stacked is not None:
+            return self._stacked
+        cap = max(max(c.capacity for c in self.coordinators), 1)
+        pad_coords = []
+        for c in self.coordinators:
+            c._ensure_capacity(cap)
+            pad_coords.append(c)
+        arrays = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[c.arrays for c in pad_coords]
+        )
+        rowids = jnp.asarray(
+            np.stack([
+                c._slot_rowids[:cap].astype(np.int32) for c in pad_coords
+            ])
+        )
+        entry = jnp.asarray([c.entry_slot for c in pad_coords], jnp.int32)
+        counts = jnp.asarray([c.count for c in pad_coords], jnp.int32)
+        shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        stacked = StackedGraphArrays(
+            arrays=jax.tree.map(lambda a: jax.device_put(a, shard), arrays),
+            rowids=jax.device_put(rowids, shard),
+            entry=jax.device_put(entry, shard),
+            counts=jax.device_put(counts, shard),
+        )
+        self._stacked = stacked
+        return stacked
+
+    # ----------------------------------------------------------------- #
+    # search
+
+    def search(self, queries: np.ndarray, k: int, l_search: int | None = None):
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        L = max(l_search if l_search is not None else self.config.l_search, k)
+        ids, dists = sharded_search(
+            self.stacked(),
+            jnp.asarray(queries),
+            mesh=self.mesh,
+            params=self.params,
+            l_search=L,
+            k=k,
+        )
+        ids = np.asarray(ids).astype(np.int64)
+        return np.where(ids >= 0, ids, INVALID_ROW_ID), np.asarray(dists)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "params", "l_search", "k")
+)
+def sharded_search(
+    stacked: StackedGraphArrays,
+    queries: jnp.ndarray,  # f32[B, D] (replicated)
+    *,
+    mesh,
+    params: GraphParams,
+    l_search: int,
+    k: int,
+):
+    """Per-shard local beam search + ONE all-gather top-k merge over ICI.
+
+    Inside shard_map each chip sees its own [1, ...] slice of the stacked
+    state; the only cross-chip communication is the final all_gather of
+    [B, k] (rowid, dist) tuples — overlappable with the next batch's compute
+    when pipelined by the caller.
+    """
+    spec = P(DATA_AXIS)
+    rep = P()
+
+    def shard_fn(arrays, rowids, entry, queries):
+        local = _local(arrays)
+        res = beam_search(
+            local,
+            queries,
+            entry[0],
+            params=params,
+            l_search=l_search,
+            k=k,
+        )
+        # slot -> global rowid before leaving the shard.
+        slots = res.topk_slots
+        gids = jnp.where(
+            slots >= 0, rowids[0][jnp.maximum(slots, 0)], jnp.int32(-1)
+        )
+        dists = jnp.where(slots >= 0, res.topk_dists, jnp.inf)
+        # Exchange candidate sets: all_gather over the data axis -> [S, B, k].
+        all_ids = jax.lax.all_gather(gids, DATA_AXIS)
+        all_dists = jax.lax.all_gather(dists, DATA_AXIS)
+        # Deterministic global merge: sort union by (dist, rowid), take k.
+        B = queries.shape[0]
+        flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, -1)
+        flat_dists = jnp.moveaxis(all_dists, 0, 1).reshape(B, -1)
+        m_dists, m_ids = topk_ops.topk_by_distance(flat_dists, flat_ids, k)
+        return m_ids, m_dists
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: spec, stacked.arrays),
+            spec,
+            spec,
+            rep,
+        ),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return fn(stacked.arrays, stacked.rowids, stacked.entry, queries)
+
+
+# --------------------------------------------------------------------- #
+# device-only sharded build step (the "training step" for multi-chip)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def insert_batch_device(
+    arrays: GraphArrays,
+    new_slots: jnp.ndarray,  # i32[M]
+    new_vecs: jnp.ndarray,  # f32[M, D]
+    entry_slot: jnp.ndarray,  # i32[]
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """Fully on-device batched insert step (no host round-trip).
+
+    Same structure as core.builder.insert_batch; the reciprocal pass handles
+    duplicate targets by keeping the first (sorted) new source per target —
+    the host-grouped path in core.builder remains the precise default, this
+    variant exists so a whole build step can live inside one jit/shard_map
+    program (the multi-chip 'training step').
+    """
+    M = new_vecs.shape[0]
+    arrays = builder.store_vectors(arrays, new_slots, new_vecs)
+    from ..core.searcher import search_for_initial_candidates
+
+    res = search_for_initial_candidates(
+        arrays, new_vecs, entry_slot, params=params, l_insert=params.l_insert
+    )
+    sel = builder.batched_robust_prune(
+        arrays, new_vecs, res.topk_slots, new_slots, params=params
+    )
+    arrays = builder.write_neighbor_rows(arrays, new_slots, sel, params=params)
+
+    # Reciprocal pass, device-only: flatten (target, src) pairs, sort by
+    # (target, src), keep the first pair per target.
+    tgts = sel.reshape(-1)  # [M*R]
+    srcs = jnp.repeat(new_slots, params.r)  # [M*R]
+    big = arrays.capacity + 1
+    key = jnp.where(tgts >= 0, tgts, big)
+    key_sorted, src_sorted = jax.lax.sort((key, srcs), num_keys=2)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), key_sorted[1:] != key_sorted[:-1]]
+    ) & (key_sorted < big)
+    tgt_u = jnp.where(first, key_sorted, -1).astype(jnp.int32)
+    src_u = jnp.where(first, src_sorted, -1)
+    safe_t = jnp.maximum(tgt_u, 0)
+    cand2 = jnp.concatenate(
+        [arrays.neighbors[safe_t], src_u[:, None]], axis=1
+    )
+    sel2 = builder.batched_robust_prune(
+        arrays, arrays.vectors[safe_t], cand2, tgt_u, params=params
+    )
+    return builder.write_neighbor_rows(arrays, tgt_u, sel2, params=params)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "params"))
+def sharded_insert_step(
+    stacked: StackedGraphArrays,
+    new_slots: jnp.ndarray,  # i32[S, M] per-shard slots
+    new_vecs: jnp.ndarray,  # f32[S, M, D] per-shard batches
+    *,
+    mesh,
+    params: GraphParams,
+) -> GraphArrays:
+    """One build step on every shard simultaneously (no cross-shard traffic:
+    subgraphs are disjoint). Returns updated stacked arrays."""
+    spec = P(DATA_AXIS)
+
+    def shard_fn(arrays, slots, vecs):
+        local = _local(arrays)
+        out = insert_batch_device(
+            local, slots[0], vecs[0], jnp.int32(0), params=params
+        )
+        return jax.tree.map(lambda a: a[None], out)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: spec, stacked.arrays), spec, spec),
+        out_specs=jax.tree.map(lambda _: spec, stacked.arrays),
+        check_vma=False,
+    )
+    return fn(stacked.arrays, new_slots, new_vecs)

@@ -221,9 +221,11 @@ class OracleGraph:
             self._set_neighbors(node_id, [])
             return
         # SearchForInitialCandidates: k = L_insert (Searcher.cpp:275-294);
-        # candidates = the search result (top-L_insert of visited).
+        # candidates = the search result (top-L_insert of visited). Visit
+        # budget 2*L_insert, same as the device engine's insert path.
         cand_ids, _, _, _ = self.search(vec, self.l_insert,
-                                        l_search=self.l_insert)
+                                        l_search=self.l_insert,
+                                        max_visits=2 * self.l_insert)
         nbrs = self.robust_prune(vec, cand_ids, self_id=node_id)
         self._set_neighbors(node_id, nbrs)
         # Reciprocal interconnect (GraphManager.cpp:161-200): re-prune each
