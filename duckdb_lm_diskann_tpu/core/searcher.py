@@ -13,7 +13,7 @@ TPU-native re-design of the reference's search path:
 
 Re-design, per SURVEY §7.1: pointer-chasing becomes batched frontier
 expansion. A whole batch of queries advances in lock-step inside one
-``lax.while_loop``; each iteration visits ONE node per query:
+``lax.while_loop``; each iteration visits ``beam_width`` nodes per query:
 
     gather node rows -> score all R cached neighbor codes at once ->
     masked sorted merge into the beam -> dedup via membership masks
@@ -22,7 +22,14 @@ The priority queue becomes a (distance, slot)-sorted fixed-size beam; the
 per-query early exit becomes a convergence mask; heap pop order becomes the
 pinned deterministic tie-break (sort by (distance, slot) — SURVEY §7.3).
 
-Semantics contract (validated against tests/oracle.py, exact-ID match):
+``beam_width`` (E): E=1 (default) reproduces the reference's strict
+one-visit-per-iteration order exactly (validated against tests/oracle.py,
+exact visit-order match). E>1 expands the E closest unvisited candidates
+per iteration — the classic DiskANN beam-width generalization — which
+amortizes the fixed per-hop cost (gather issue + sort + masks) over E
+visits; results remain deterministic under the same tie-break.
+
+Semantics contract (E=1, validated against tests/oracle.py):
   * beam insert-and-evict-worst == diskAnnSearchCtxInsertCandidate
     (vectordiskann.c:1136-1148) under the pinned tie-break
   * "skip if visited or already a candidate" == :1379 via membership masks
@@ -34,9 +41,10 @@ Semantics contract (validated against tests/oracle.py, exact-ID match):
     (:1349-1354) because checking earlier would cost an I/O — on TPU the
     validity gather is free, so we filter eagerly (deviation documented).
 
-Fixed bounds: the loop is capped at ``max_visits`` iterations and the
-visited buffer holds ``max_visits`` entries (XLA needs static shapes); the
-cap defaults to 4*L which is far above observed visit counts.
+Fixed bounds: the loop is capped so at most ``max_visits`` nodes are
+visited per query and the visited buffer holds ``max_visits`` entries (XLA
+needs static shapes); the cap defaults to 4*L which is far above observed
+visit counts.
 """
 
 from __future__ import annotations
@@ -51,7 +59,6 @@ from ..common.types import EdgeType, MetricType
 from ..ops import topk as topk_ops
 from ..ops.distance import (
     pairwise_distance,
-    query_to_neighbors_distance,
     similarity_to_distance,
 )
 from ..ops.ternary import encode_ternary, ternary_dot
@@ -82,41 +89,42 @@ class _BeamState(NamedTuple):
 def _score_edges(
     arrays: GraphArrays,
     params: GraphParams,
-    cur: jnp.ndarray,  # i32[B] current node slots
+    cur: jnp.ndarray,  # i32[B, E] current node slots
     queries: jnp.ndarray,  # f32[B, D]
     q_pos: jnp.ndarray,
     q_neg: jnp.ndarray,
-    nbrs: jnp.ndarray,  # i32[B, R]
+    nbrs: jnp.ndarray,  # i32[B, E, R]
 ) -> jnp.ndarray:
-    """Approximate distances [B, R] from the visited nodes' cached edge codes
-    — the LM-DiskANN property: no second gather for frontier scoring
+    """Approximate distances [B, E, R] from the visited nodes' cached edge
+    codes — the LM-DiskANN property: no second gather for frontier scoring
     (vectordiskann.c:1370-1396)."""
     et = params.edge_type
     if et is EdgeType.TERNARY:
-        e_pos = arrays.edge_pos[cur]  # [B, R, W]
+        e_pos = arrays.edge_pos[cur]  # [B, E, R, W]
         e_neg = arrays.edge_neg[cur]
         sim = ternary_dot(
-            q_pos[:, None, :], q_neg[:, None, :], e_pos, e_neg
+            q_pos[:, None, None, :], q_neg[:, None, None, :], e_pos, e_neg
         ).astype(jnp.float32)
         return similarity_to_distance(sim, params.metric)
     if et is EdgeType.INT8:
-        codes = arrays.edge_i8[cur]  # [B, R, D]
-        scale = arrays.edge_scale[cur]  # [B, R]
+        codes = arrays.edge_i8[cur]  # [B, E, R, D]
+        scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = codes.astype(jnp.float32) * scale[..., None]
-        return query_to_neighbors_distance(queries, vecs, params.metric)
+        return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
     if et is EdgeType.FLOAT32:
-        return query_to_neighbors_distance(
-            queries, arrays.edge_f32[cur], params.metric
+        return pairwise_distance(
+            queries[:, None, None, :], arrays.edge_f32[cur], params.metric
         )
     # EdgeType.NONE: exact traversal — gather the neighbors' own vectors
     # (the C++ Searcher behavior, core/Searcher.cpp:168-173).
     safe_nbrs = jnp.maximum(nbrs, 0)
-    vecs = arrays.vectors[safe_nbrs]  # [B, R, D]
-    return query_to_neighbors_distance(queries, vecs, params.metric)
+    vecs = arrays.vectors[safe_nbrs]  # [B, E, R, D]
+    return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "l_search", "k", "max_visits")
+    jax.jit,
+    static_argnames=("params", "l_search", "k", "max_visits", "beam_width"),
 )
 def beam_search(
     arrays: GraphArrays,
@@ -127,12 +135,15 @@ def beam_search(
     l_search: int,
     k: int,
     max_visits: int = 0,
+    beam_width: int = 1,
 ) -> SearchResult:
     """Batched beam search. Returns top-k and the visited set (the insert
     path consumes visited, Searcher::SearchForInitialCandidates semantics)."""
     B = queries.shape[0]
     L = l_search
+    E = beam_width
     V = max_visits if max_visits > 0 else params.max_visits
+    R = params.r
     queries = queries.astype(jnp.float32)
     entry = jnp.broadcast_to(jnp.asarray(entry_slot, jnp.int32), (B,))
 
@@ -165,56 +176,82 @@ def beam_search(
         return (~s.beam_vis) & (s.beam_slot >= 0)
 
     def cond(s: _BeamState) -> jnp.ndarray:
-        return jnp.any(has_unvisited(s)) & (s.it < V)
+        return jnp.any(has_unvisited(s)) & (s.it * E < V)
 
     def body(s: _BeamState) -> _BeamState:
         unvis = has_unvisited(s)  # [B, L]
-        active = jnp.any(unvis, axis=-1)  # [B]
-        # Beam is sorted, so the first unvisited entry is the closest
-        # unvisited candidate (diskAnnSearchCtxFindClosestCandidateIdx,
-        # vectordiskann.c:1152-1167).
-        idx = jnp.argmax(unvis, axis=-1)  # [B]
-        cur = jnp.take_along_axis(s.beam_slot, idx[:, None], axis=-1)[:, 0]
-        cur = jnp.where(active, cur, 0)
+        # The beam is sorted, so the E first unvisited positions are the E
+        # closest unvisited candidates
+        # (diskAnnSearchCtxFindClosestCandidateIdx, vectordiskann.c:1152-1167).
+        pos_key = jnp.where(unvis, jnp.arange(L, dtype=jnp.int32)[None, :], L)
+        if E == 1:
+            idx_e = jnp.argmax(unvis, axis=-1)[:, None]  # [B, 1]
+        else:
+            _, idx_e = jax.lax.top_k(-pos_key, E)  # [B, E] smallest positions
+            idx_e = idx_e.astype(jnp.int32)
+        active_e = jnp.take_along_axis(unvis, idx_e, axis=-1)  # [B, E]
+        cur = jnp.take_along_axis(s.beam_slot, idx_e, axis=-1)  # [B, E]
+        cur = jnp.where(active_e, cur, 0)
 
-        # Visit: exact distance to the node's full-precision vector
+        # Visit: exact distance to each node's full-precision vector
         # (vectordiskann.c:1366-1370).
-        node_vec = arrays.vectors[cur]  # [B, D]
-        exact = pairwise_distance(queries, node_vec, params.metric)
+        node_vec = arrays.vectors[cur]  # [B, E, D]
+        exact = pairwise_distance(queries[:, None, :], node_vec, params.metric)
 
-        # Mark the beam entry visited.
-        beam_vis = s.beam_vis | (
-            jax.nn.one_hot(idx, L, dtype=jnp.bool_) & active[:, None]
+        # Mark the beam entries visited.
+        oh = jax.nn.one_hot(idx_e, L, dtype=jnp.bool_) & active_e[:, :, None]
+        beam_vis = s.beam_vis | jnp.any(oh, axis=1)
+
+        # Append the E visits to the visited log (disjoint positions
+        # vis_cnt, vis_cnt+1, ... for the active ones).
+        order_e = jnp.cumsum(active_e.astype(jnp.int32), axis=-1) - 1
+        pos_e = jnp.where(active_e, s.vis_cnt[:, None] + order_e, -1)  # [B,E]
+        at = (
+            jnp.arange(V, dtype=jnp.int32)[None, None, :] == pos_e[:, :, None]
+        )  # [B, E, V], disjoint over E
+        hit = jnp.any(at, axis=1)  # [B, V]
+        slot_contrib = jnp.sum(
+            jnp.where(at, cur[:, :, None], 0), axis=1
         )
+        dist_contrib = jnp.sum(jnp.where(at, exact[:, :, None], 0.0), axis=1)
+        vis_slot = jnp.where(hit, slot_contrib, s.vis_slot)
+        vis_dist = jnp.where(hit, dist_contrib, s.vis_dist)
+        vis_cnt = s.vis_cnt + jnp.sum(active_e.astype(jnp.int32), axis=-1)
 
-        # Append to the visited log (one-hot scatter at vis_cnt).
-        at_cnt = (
-            jnp.arange(V, dtype=jnp.int32)[None, :] == s.vis_cnt[:, None]
-        ) & active[:, None]
-        vis_slot = jnp.where(at_cnt, cur[:, None], s.vis_slot)
-        vis_dist = jnp.where(at_cnt, exact[:, None], s.vis_dist)
-        vis_cnt = s.vis_cnt + active.astype(jnp.int32)
-
-        # Frontier: all R neighbor slots + their cached codes in ONE row.
-        nbrs = arrays.neighbors[cur]  # [B, R]
+        # Frontier: all R neighbor slots + cached codes of each visited node.
+        nbrs = arrays.neighbors[cur]  # [B, E, R]
         nbr_live = (nbrs >= 0) & arrays.valid[jnp.maximum(nbrs, 0)]
+        nbr_live = nbr_live & active_e[:, :, None]
         edge_dist = _score_edges(arrays, params, cur, queries, q_pos, q_neg, nbrs)
 
+        nbrs_f = nbrs.reshape(B, E * R)
+        live_f = nbr_live.reshape(B, E * R)
+        dist_f = edge_dist.reshape(B, E * R)
+
         # Skip neighbors already in the beam or already visited
-        # (vectordiskann.c:1379).
+        # (vectordiskann.c:1379); the vis check uses the just-updated log so
+        # edges pointing at this round's visits are excluded too.
         in_beam = jnp.any(
-            (nbrs[:, :, None] == s.beam_slot[:, None, :])
+            (nbrs_f[:, :, None] == s.beam_slot[:, None, :])
             & (s.beam_slot >= 0)[:, None, :],
             axis=-1,
         )
         in_vis = jnp.any(
-            (nbrs[:, :, None] == vis_slot[:, None, :])
+            (nbrs_f[:, :, None] == vis_slot[:, None, :])
             & (vis_slot >= 0)[:, None, :],
             axis=-1,
         )
-        cand_ok = nbr_live & ~in_beam & ~in_vis & active[:, None]
-        cand_dist = jnp.where(cand_ok, edge_dist, INF)
-        cand_slot = jnp.where(cand_ok, nbrs, -1)
+        cand_ok = live_f & ~in_beam & ~in_vis
+        if E > 1:
+            # Two visited nodes may share a neighbor: keep only the first
+            # occurrence (identical cached-code distance, so which one
+            # survives is irrelevant; the mask keeps the merge dup-free).
+            same = (nbrs_f[:, :, None] == nbrs_f[:, None, :]) & live_f[:, None, :]
+            tri = jnp.tril(jnp.ones((E * R, E * R), jnp.bool_), k=-1)
+            earlier_dup = jnp.any(same & tri[None, :, :], axis=-1)
+            cand_ok = cand_ok & ~earlier_dup
+        cand_dist = jnp.where(cand_ok, dist_f, INF)
+        cand_slot = jnp.where(cand_ok, nbrs_f, -1)
 
         # Sorted merge, keep best L: insert-and-evict-worst for the whole
         # edge set at once (vectordiskann.c:1136-1148 + :1077-1088).

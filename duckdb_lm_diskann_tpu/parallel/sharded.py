@@ -253,14 +253,16 @@ def insert_batch_device(
         arrays, new_vecs, entry_slot, params=params, l_insert=params.l_insert
     )
     sel = builder.batched_robust_prune(
-        arrays, new_vecs, res.topk_slots, new_slots, params=params
+        arrays, new_vecs, res.visited_slots, new_slots, params=params
     )
     arrays = builder.write_neighbor_rows(arrays, new_slots, sel, params=params)
 
-    # Reciprocal pass, device-only: flatten (target, src) pairs, sort by
-    # (target, src), keep the first pair per target.
-    tgts = sel.reshape(-1)  # [M*R]
-    srcs = jnp.repeat(new_slots, params.r)  # [M*R]
+    # Reciprocal pass, device-only: flatten (visited target, src) pairs,
+    # sort by (target, src), keep the first pair per target, apply libSQL's
+    # replace/prune edge insertion.
+    V = res.visited_slots.shape[1]
+    tgts = res.visited_slots.reshape(-1)  # [M*V]
+    srcs = jnp.repeat(new_slots, V)  # [M*V]
     big = arrays.capacity + 1
     key = jnp.where(tgts >= 0, tgts, big)
     key_sorted, src_sorted = jax.lax.sort((key, srcs), num_keys=2)
@@ -269,14 +271,8 @@ def insert_batch_device(
     ) & (key_sorted < big)
     tgt_u = jnp.where(first, key_sorted, -1).astype(jnp.int32)
     src_u = jnp.where(first, src_sorted, -1)
-    safe_t = jnp.maximum(tgt_u, 0)
-    cand2 = jnp.concatenate(
-        [arrays.neighbors[safe_t], src_u[:, None]], axis=1
-    )
-    sel2 = builder.batched_robust_prune(
-        arrays, arrays.vectors[safe_t], cand2, tgt_u, params=params
-    )
-    return builder.write_neighbor_rows(arrays, tgt_u, sel2, params=params)
+    arrays, _ = builder.replace_edge_round(arrays, tgt_u, src_u, params=params)
+    return arrays
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "params"))

@@ -220,20 +220,104 @@ class OracleGraph:
             self.entry_point = node_id
             self._set_neighbors(node_id, [])
             return
-        # SearchForInitialCandidates: k = L_insert (Searcher.cpp:275-294);
-        # candidates = the search result (top-L_insert of visited). Visit
-        # budget 2*L_insert, same as the device engine's insert path.
-        cand_ids, _, _, _ = self.search(vec, self.l_insert,
-                                        l_search=self.l_insert,
-                                        max_visits=2 * self.l_insert)
-        nbrs = self.robust_prune(vec, cand_ids, self_id=node_id)
+        # SearchForInitialCandidates with L = L_insert, then prune over the
+        # FULL visited set — libSQL's "all visited nodes as potential
+        # neighbours" (vectordiskann.c:1571-1586), which preserves the
+        # long-range path edges. Visit budget 2*L_insert, same as the device.
+        _, _, visited, _ = self.search(vec, self.l_insert,
+                                       l_search=self.l_insert,
+                                       max_visits=2 * self.l_insert)
+        nbrs = self.robust_prune(vec, visited, self_id=node_id)
         self._set_neighbors(node_id, nbrs)
-        # Reciprocal interconnect (GraphManager.cpp:161-200): re-prune each
-        # chosen neighbor with the new node as an extra candidate.
-        for nbr in nbrs:
-            cand = self.neighbors[nbr] + [node_id]
-            new_list = self.robust_prune(self.vectors[nbr], cand, self_id=nbr)
-            self._set_neighbors(nbr, new_list)
+        # Reciprocal pass: add the new node as a candidate edge of EVERY
+        # visited node via libSQL's replace/prune insertion
+        # (vectordiskann.c:1588-1606); targets in ascending order, matching
+        # the device's deterministic grouping.
+        accepted = False
+        for v in sorted(set(visited)):
+            if v != node_id:
+                accepted |= self.replace_edge(v, node_id)
+        # In-link guarantee (matches the device force_edge_round): if every
+        # target rejected the newcomer, force-link it at its nearest
+        # selected neighbor.
+        if not accepted and nbrs:
+            self.force_edge(nbrs[0], node_id)
+
+    # --- replace/prune edge insertion (diskAnnReplaceEdgeIdx +
+    #     diskAnnPruneEdges, vectordiskann.c:1176-1280) ---
+
+    def replace_edge(self, t: int, c: int) -> bool:
+        """Insert c as a candidate edge of t: overwrite if present; skip if
+        dominated (d(t,c) > alpha*d(e,c)); else append when room or replace
+        the farthest edge with d(t,e) > d(t,c); afterwards evict edges with
+        d(t,e) > alpha*d(c,e). Mirrors the device replace_edge_round
+        exactly (compacted lists, first-max replacement tie-break).
+        Returns True iff the edge was inserted."""
+        if t == c or t not in self.vectors or c not in self.vectors:
+            return False
+        pm = self.prune_metric
+        nbr = self.neighbors[t]
+        d_tc = exact_distance(self.vectors[t], self.vectors[c], pm)
+        d_te = [
+            exact_distance(self.vectors[t], self.vectors[e], pm)
+            if e in self.vectors else float("inf")
+            for e in nbr
+        ]
+        d_ec = [
+            exact_distance(self.vectors[c], self.vectors[e], pm)
+            if e in self.vectors else float("inf")
+            for e in nbr
+        ]
+        already = c in nbr
+        if already:
+            slot = nbr.index(c)
+        else:
+            if any(d_tc > self.alpha * dec for e, dec in zip(nbr, d_ec)
+                   if e in self.vectors):
+                return False  # dominated
+            if len(nbr) < self.r:
+                slot = len(nbr)
+            else:
+                repl = [(dte, j) for j, dte in enumerate(d_te) if dte > d_tc]
+                if not repl:
+                    return False
+                best = max(d for d, _ in repl)
+                slot = next(j for j, dte in enumerate(d_te) if dte == best)
+        new_list = list(nbr)
+        if slot == len(new_list):
+            new_list.append(c)
+            d_te.append(0.0)
+            d_ec.append(0.0)
+        else:
+            new_list[slot] = c
+        final = [
+            e for j, e in enumerate(new_list)
+            if j == slot or not (d_te[j] > self.alpha * d_ec[j])
+        ]
+        self._set_neighbors(t, final)
+        return True
+
+    def force_edge(self, t: int, c: int):
+        """Unconditional insertion (device force_edge_round): first empty
+        slot, else replace the farthest edge."""
+        if t == c or t not in self.vectors or c not in self.vectors:
+            return
+        nbr = self.neighbors[t]
+        if c in nbr:
+            return
+        if len(nbr) < self.r:
+            new_list = nbr + [c]
+        else:
+            pm = self.prune_metric
+            d_te = [
+                exact_distance(self.vectors[t], self.vectors[e], pm)
+                if e in self.vectors else float("-inf")
+                for e in nbr
+            ]
+            worst = max(range(len(nbr)), key=lambda j: (d_te[j], -j))
+            new_list = list(nbr)
+            new_list[worst] = c
+        self._set_neighbors(t, new_list)
 
     # --- delete (diskAnnDelete, vectordiskann.c:1626-1700) ---
 

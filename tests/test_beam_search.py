@@ -169,3 +169,37 @@ def test_zombie_edges_skipped(rng):
     res = beam_search(arrays, q, jnp.int32(0), params=params,
                       l_search=16, k=10)
     assert not np.any(np.asarray(res.topk_slots) == 7)
+
+
+@pytest.mark.parametrize("metric,edge_type", [
+    (MetricType.COSINE, EdgeType.TERNARY),
+    (MetricType.L2, EdgeType.INT8),
+])
+def test_beam_width_expansion(rng, metric, edge_type):
+    """E>1 (multi-visit hops) must preserve result quality and determinism;
+    hops shrink ~E-fold."""
+    n, dims, k = 300, 16, 10
+    params = make_params(metric, edge_type, dims=dims)
+    oracle = OracleGraph(dims, params.r, metric, edge_type,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+    queries = jnp.asarray(rng.standard_normal((8, dims)).astype(np.float32))
+
+    r1 = beam_search(arrays, queries, jnp.int32(oracle.entry_point),
+                     params=params, l_search=32, k=k, beam_width=1)
+    r4 = beam_search(arrays, queries, jnp.int32(oracle.entry_point),
+                     params=params, l_search=32, k=k, beam_width=4)
+    r4b = beam_search(arrays, queries, jnp.int32(oracle.entry_point),
+                      params=params, l_search=32, k=k, beam_width=4)
+    # Deterministic across runs.
+    np.testing.assert_array_equal(np.asarray(r4.topk_slots),
+                                  np.asarray(r4b.topk_slots))
+    # Fewer lock-step hops.
+    assert int(r4.hops) < int(r1.hops)
+    # Same-or-similar results: top-k overlap >= 80% per query.
+    for b in range(8):
+        a = set(np.asarray(r1.topk_slots[b]).tolist()) - {-1}
+        c = set(np.asarray(r4.topk_slots[b]).tolist()) - {-1}
+        assert len(a & c) >= 0.8 * len(a)
