@@ -197,6 +197,7 @@ class Coordinator:
         k: int,
         l_search: int | None = None,
         beam_width: int = 1,
+        n_seeds: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
@@ -216,10 +217,11 @@ class Coordinator:
         # L_search = max(explicit param or config default, k)
         # (Coordinator.cpp:63-102 / Searcher::Search :256-272).
         L = max(l_search if l_search is not None else self.config.l_search, k)
+        seeds = self._seed_slots(min(n_seeds, L))
         res = beam_search(
             self.arrays,
             jnp.asarray(queries),
-            jnp.int32(self.entry_slot),
+            jnp.asarray(seeds),
             params=self.params,
             l_search=L,
             k=k,
@@ -317,6 +319,22 @@ class Coordinator:
             self.entry_slot, self.entry_rowid = self._select_fallback_entry()
         self.dirty = True
         return len(present)
+
+    def _seed_slots(self, n_seeds: int) -> np.ndarray:
+        """Pinned seed set for multi-seed search: the entry point plus
+        (n-1) live slots stratified over insertion order — the deterministic
+        analog of libSQL's random start row (vectordiskann.c:1450),
+        recovering regions weakly connected to any single entry point."""
+        if n_seeds <= 1:
+            return np.asarray([self.entry_slot], np.int32)
+        live = sorted(self.allocator.slot_to_rowid)
+        if not live:
+            return np.asarray([self.entry_slot], np.int32)
+        picks = [self.entry_slot]
+        step = max(len(live) // n_seeds, 1)
+        for i in range(n_seeds - 1):
+            picks.append(live[(i * step + step // 2) % len(live)])
+        return np.asarray(picks, np.int32)
 
     def set_entry_to_medoid(self) -> None:
         """Move the entry point to the medoid (closest live node to the

@@ -145,22 +145,36 @@ def beam_search(
     V = max_visits if max_visits > 0 else params.max_visits
     R = params.r
     queries = queries.astype(jnp.float32)
-    entry = jnp.broadcast_to(jnp.asarray(entry_slot, jnp.int32), (B,))
+    # entry_slot: scalar (one shared entry point, the reference behavior) or
+    # i32[S] — a pinned seed SET. Multi-seeding is the deterministic analog
+    # of libSQL drawing a random start row per search
+    # (diskAnnSelectRandomShadowRow, vectordiskann.c:1450): regions weakly
+    # connected to one entry point remain findable from another seed.
+    seeds = jnp.atleast_1d(jnp.asarray(entry_slot, jnp.int32))  # [S]
+    S = seeds.shape[0]
+    if S > L:
+        raise ValueError("seed count exceeds l_search")
 
     if params.edge_type is EdgeType.TERNARY:
         q_pos, q_neg = encode_ternary(queries)
     else:  # placeholders keep the pytree static
         q_pos = q_neg = jnp.zeros((B, 1), jnp.uint32)
 
-    # --- Seed: entry point with exact distance (vectordiskann.c:1306-1322).
-    entry_ok = (entry >= 0) & arrays.valid[jnp.maximum(entry, 0)]
-    seed_vec = arrays.vectors[jnp.maximum(entry, 0)]
-    seed_dist = pairwise_distance(queries, seed_vec, params.metric)
-    beam_dist = jnp.full((B, L), INF).at[:, 0].set(jnp.where(entry_ok, seed_dist, INF))
-    beam_slot = (
-        jnp.full((B, L), -1, jnp.int32)
-        .at[:, 0]
-        .set(jnp.where(entry_ok, entry, -1))
+    # --- Seed: entry point(s) with exact distance (vectordiskann.c:1306-1322).
+    seeds_b = jnp.broadcast_to(seeds[None, :], (B, S))
+    seed_ok = (seeds_b >= 0) & arrays.valid[jnp.maximum(seeds_b, 0)]
+    seed_vec = arrays.vectors[jnp.maximum(seeds, 0)]  # [S, D]
+    seed_dist = pairwise_distance(
+        queries[:, None, :], seed_vec[None, :, :], params.metric
+    )  # [B, S]
+    sd, ss = topk_ops.mask_invalid(seed_dist, seeds_b, seed_ok)
+    sd, ss = topk_ops.sort_by_distance_id(sd, ss)
+    if S > 1:  # duplicate seeds collapse to one beam entry; restore order
+        sd, ss = topk_ops.dedup_sorted_ids(sd, ss)
+        sd, ss = topk_ops.sort_by_distance_id(sd, ss)
+    beam_dist = jnp.concatenate([sd, jnp.full((B, L - S), INF)], axis=-1)
+    beam_slot = jnp.concatenate(
+        [ss, jnp.full((B, L - S), -1, jnp.int32)], axis=-1
     )
     state = _BeamState(
         beam_dist=beam_dist,
