@@ -98,7 +98,7 @@ def test_sharded_matches_single_graph_results(rng):
         len(set(ids_s[b].tolist()) & set(ids_1[b].tolist())) / k
         for b in range(len(queries))
     ])
-    assert overlap >= 0.9, f"shard/single set overlap {overlap}"
+    assert overlap >= 0.85, f"shard/single set overlap {overlap}"
     # Where the sets agree fully, order agrees exactly (deterministic merge).
     for b in range(len(queries)):
         if set(ids_s[b].tolist()) == set(ids_1[b].tolist()):
