@@ -52,7 +52,12 @@ class Coordinator:
         self.config = config
         self.params = GraphParams.from_config(config)
         self.allocator = SlotAllocator()
-        capacity = max(_MIN_CAPACITY, initial_capacity)
+        # Power-of-two capacities: array shapes key every compiled program,
+        # so arbitrary capacities would recompile the whole engine per
+        # index size.
+        capacity = _MIN_CAPACITY
+        while capacity < initial_capacity:
+            capacity *= 2
         self.arrays: GraphArrays = make_graph_arrays(self.params, capacity)
         # Entry point: first inserted node; random fallback on deletion
         # (GraphManager::SetEntryPoint / SelectEntryPointForSearch,
