@@ -50,23 +50,28 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", 1024))
     n_queries = int(os.environ.get("BENCH_QUERIES", 4096))
     l_search = int(os.environ.get("BENCH_L", 100))
-    width = int(os.environ.get("BENCH_WIDTH", 4))
+    width = int(os.environ.get("BENCH_WIDTH", 1))
     k = 10
 
-    # Hierarchical clusters: coarse centers -> fine centers -> points, plus
-    # query jitter — the multi-scale structure of SIFT/GIST/DEEP corpora.
+    # Smooth random manifold with intrinsic dimension 12 embedded in 128-d
+    # (z ~ N(0,I)^12 -> tanh(z W1) W2 + noise): the realistic model of
+    # descriptor corpora — real SIFT/GIST/DEEP vectors live on
+    # low-intrinsic-dimension manifolds with continuous neighborhoods, the
+    # regime graph-ANN methods (and their published recall numbers) assume.
     rng = np.random.default_rng(0xBE7C4)
-    n_top = 16
-    n_fine = max(64, n // 500)
-    top = rng.standard_normal((n_top, dims)).astype(np.float32)
-    fine = top[rng.integers(0, n_top, n_fine)] + 0.4 * rng.standard_normal(
-        (n_fine, dims)
-    ).astype(np.float32)
-    data = fine[rng.integers(0, n_fine, n)] + 0.25 * rng.standard_normal(
-        (n, dims)
-    ).astype(np.float32)
+    zdim = 12
+    w1 = rng.standard_normal((zdim, 64)).astype(np.float32)
+    w2 = (rng.standard_normal((64, dims)) / np.sqrt(64)).astype(np.float32)
+
+    def gen(m):
+        z = rng.standard_normal((m, zdim)).astype(np.float32)
+        return np.tanh(z @ w1) @ w2 + 0.02 * rng.standard_normal(
+            (m, dims)
+        ).astype(np.float32)
+
+    data = gen(n)
     qidx = rng.integers(0, n, n_queries)
-    queries = data[qidx] + 0.05 * rng.standard_normal(
+    queries = data[qidx] + 0.01 * rng.standard_normal(
         (n_queries, dims)
     ).astype(np.float32)
 
