@@ -177,6 +177,13 @@ class LmDiskannConfig:
     # one beam slot and every hop visits one node, so l_search + slack is a
     # true upper bound in practice; we cap defensively.
     max_visits: int = 0  # 0 -> resolved to 4 * l_search
+    # Keys the user passed explicitly in WITH (...) — lets the load path
+    # distinguish "user demanded r=8" from "r defaulted to 64" when checking
+    # options against a persisted config (reopen must not silently change
+    # the block layout).
+    explicit_keys: frozenset = dataclasses.field(
+        default_factory=frozenset, compare=False, repr=False
+    )
 
     def resolve_edge_type(self) -> EdgeType:
         if self.edge_type is not None:
@@ -258,4 +265,5 @@ def parse_options(options: dict | None = None, **kwargs) -> LmDiskannConfig:
             config.l_search = int(value)
         elif key == "edge_type":
             config.edge_type = EdgeType.parse(value)
+    config.explicit_keys = frozenset(opts)
     return config

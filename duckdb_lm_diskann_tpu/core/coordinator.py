@@ -161,11 +161,26 @@ class Coordinator:
                 offset += step
                 graph_size += step
         except Exception:
-            # Rollback FreeNode on error (Coordinator.cpp:160-172).
+            # Rollback FreeNode on error (Coordinator.cpp:160-172): clear the
+            # valid mask for every slot this batch touched (store_vectors may
+            # have marked them live) and leave the slots in the pending
+            # deletion queue — immediate recycling would bypass the
+            # zombie-edge protection the queue exists to provide; vacuum
+            # reclaims them like any other delete.
+            touched = [
+                self.allocator.rowid_to_slot[r]
+                for r in rowids
+                if r in self.allocator.rowid_to_slot
+            ]
+            if touched:
+                self.arrays = self.arrays._replace(
+                    valid=self.arrays.valid.at[
+                        jnp.asarray(touched, jnp.int32)
+                    ].set(False)
+                )
             for r in rowids:
                 if r in self.allocator.rowid_to_slot:
                     self.allocator.free(r)
-            self.allocator.process_deletion_queue()
             raise
         self._slot_rowids[slots] = np.asarray(rowids, np.int64)
         if self.shadow_service is not None:

@@ -125,10 +125,30 @@ class Database:
         )
         # IS NOT NULL filter of the create plan: rows with NaNs are skipped
         # (the reference's projection + null filter, hnsw_index_plan.cpp).
-        finite = np.isfinite(data).all(axis=1)
-        if finite.any():
+        finite = (
+            np.isfinite(data).all(axis=1)
+            if np.issubdtype(data.dtype, np.floating)
+            else np.ones(len(data), bool)
+        )
+        want_rowids = t.row_ids[finite]
+        if idx.coordinator.count:
+            # A persisted index was auto-loaded from a prior session. Reuse
+            # it when it indexes exactly the table's rows (the natural
+            # reopen workflow); otherwise rebuild from scratch — re-running
+            # bulk_build into the loaded coordinator would raise on
+            # duplicate row ids.
+            have = set(idx.coordinator.allocator.rowid_to_slot)
+            if have != {int(r) for r in want_rowids}:
+                idx.coordinator.handle_commit_drop()
+                if idx.coordinator.shadow_service is not None:
+                    idx.coordinator.shadow_service.reset()
+                if finite.any():
+                    idx.coordinator.bulk_build(
+                        want_rowids.tolist(), data[finite].astype(np.float32)
+                    )
+        elif finite.any():
             idx.coordinator.bulk_build(
-                t.row_ids[finite].tolist(), data[finite].astype(np.float32)
+                want_rowids.tolist(), data[finite].astype(np.float32)
             )
         t.indexes[index_name] = BoundTableIndex(column, idx)
         return idx

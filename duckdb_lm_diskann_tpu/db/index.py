@@ -87,13 +87,59 @@ class LmDiskannIndex:
         ).exists():
             try:
                 self.coordinator = checkpoint.load_index(self.directory)
-                self.coordinator.config = self.config  # options may differ
+                # The persisted config is authoritative: r / metric /
+                # edge_type / dims fix the block layout and the array
+                # shapes, so reopening with different explicit options must
+                # raise rather than silently serialize a mismatched layout
+                # (the reference re-derives config from the persisted
+                # metadata block, core/StorageManager.cpp:104-117).
+                self._check_reopen_options(config, self.coordinator.config)
+                persisted = self.coordinator.config
+                # Runtime knobs may be overridden per session.
+                for knob in ("l_search", "l_insert", "alpha"):
+                    if knob in config.explicit_keys:
+                        setattr(persisted, knob, getattr(config, knob))
+                persisted.validate()
+                self.config = persisted
+                self.coordinator.params = type(
+                    self.coordinator.params
+                ).from_config(persisted)
+                self.layout = resolve_layout(persisted)
             except FileNotFoundError:
                 self.coordinator = Coordinator(config)
         else:
             self.coordinator = Coordinator(config)
         if self.directory is not None:
             self.coordinator.shadow_service = ShadowStorageService(self.directory)
+
+    @staticmethod
+    def _check_reopen_options(parsed, persisted) -> None:
+        """Raise if explicitly-passed WITH options conflict with the
+        persisted, layout-determining config (r/metric/edge_type/dims)."""
+        checks = {
+            "metric": ("metric_type", persisted.metric_type),
+            "r": ("r", persisted.r),
+            "edge_type": ("edge_type", persisted.resolve_edge_type()),
+        }
+        for key, (attr, have) in checks.items():
+            if key not in parsed.explicit_keys:
+                continue
+            want = getattr(parsed, attr)
+            if key == "edge_type":
+                want = parsed.resolve_edge_type()
+            if want != have:
+                raise ValueError(
+                    f"LM_DISKANN option {key}={want} conflicts with the "
+                    f"persisted index ({key}={have}); drop the index to "
+                    "change layout parameters"
+                )
+        if parsed.dimensions != persisted.dimensions or (
+            parsed.node_vector_type != persisted.node_vector_type
+        ):
+            raise ValueError(
+                "column type/dimensions do not match the persisted index "
+                f"({persisted.node_vector_type.value}[{persisted.dimensions}])"
+            )
 
     # --- DML forwarding (BoundIndex hooks) ---
 

@@ -48,12 +48,32 @@ from .mesh import DATA_AXIS, make_mesh
 
 
 class StackedGraphArrays(NamedTuple):
-    """GraphArrays with a leading shard dim [S, ...] + per-shard metadata."""
+    """GraphArrays with a leading shard dim [S, ...] + per-shard metadata.
+
+    Row ids are 64-bit (duckdb row_t); devices default to 32-bit ints, so
+    the slot->rowid map is carried as (hi, lo) int32 halves — hi = id >> 32,
+    lo = low 32 bits (bit pattern). Empty slots are (-1, -1), which
+    reassembles to int64 -1 == INVALID_ROW_ID.
+    """
 
     arrays: GraphArrays  # every field [S, ...]
-    rowids: jnp.ndarray  # i32[S, C] slot -> global rowid (-1 empty)
+    rowids_hi: jnp.ndarray  # i32[S, C] high 32 bits of slot -> rowid
+    rowids_lo: jnp.ndarray  # i32[S, C] low 32 bits (bit pattern)
     entry: jnp.ndarray  # i32[S] per-shard entry slot
     counts: jnp.ndarray  # i32[S] live counts
+
+
+def _split_rowids64(rowids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    r = np.asarray(rowids, np.int64)
+    hi = (r >> 32).astype(np.int32)
+    lo = (r & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    return hi, lo
+
+
+def _join_rowids64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return (np.asarray(hi, np.int64) << 32) | (
+        np.asarray(lo, np.int32).view(np.uint32).astype(np.int64)
+    )
 
 
 def _local(tree):
@@ -126,17 +146,16 @@ class ShardedIndex:
         arrays = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[c.arrays for c in pad_coords]
         )
-        rowids = jnp.asarray(
-            np.stack([
-                c._slot_rowids[:cap].astype(np.int32) for c in pad_coords
-            ])
-        )
+        hi_lo = [_split_rowids64(c._slot_rowids[:cap]) for c in pad_coords]
+        rowids_hi = jnp.asarray(np.stack([h for h, _ in hi_lo]))
+        rowids_lo = jnp.asarray(np.stack([l for _, l in hi_lo]))
         entry = jnp.asarray([c.entry_slot for c in pad_coords], jnp.int32)
         counts = jnp.asarray([c.count for c in pad_coords], jnp.int32)
         shard = NamedSharding(self.mesh, P(DATA_AXIS))
         stacked = StackedGraphArrays(
             arrays=jax.tree.map(lambda a: jax.device_put(a, shard), arrays),
-            rowids=jax.device_put(rowids, shard),
+            rowids_hi=jax.device_put(rowids_hi, shard),
+            rowids_lo=jax.device_put(rowids_lo, shard),
             entry=jax.device_put(entry, shard),
             counts=jax.device_put(counts, shard),
         )
@@ -149,7 +168,7 @@ class ShardedIndex:
     def search(self, queries: np.ndarray, k: int, l_search: int | None = None):
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         L = max(l_search if l_search is not None else self.config.l_search, k)
-        ids, dists = sharded_search(
+        hi, lo, dists = sharded_search(
             self.stacked(),
             jnp.asarray(queries),
             mesh=self.mesh,
@@ -157,8 +176,8 @@ class ShardedIndex:
             l_search=L,
             k=k,
         )
-        ids = np.asarray(ids).astype(np.int64)
-        return np.where(ids >= 0, ids, INVALID_ROW_ID), np.asarray(dists)
+        ids = _join_rowids64(np.asarray(hi), np.asarray(lo))
+        return ids, np.asarray(dists)
 
 
 @functools.partial(
@@ -183,7 +202,7 @@ def sharded_search(
     spec = P(DATA_AXIS)
     rep = P()
 
-    def shard_fn(arrays, rowids, entry, queries):
+    def shard_fn(arrays, rowids_hi, rowids_lo, entry, queries):
         local = _local(arrays)
         res = beam_search(
             local,
@@ -193,21 +212,30 @@ def sharded_search(
             l_search=l_search,
             k=k,
         )
-        # slot -> global rowid before leaving the shard.
+        # slot -> global rowid (int64 as hi/lo halves) before leaving the
+        # shard; invalid result slots carry (-1, -1).
         slots = res.topk_slots
-        gids = jnp.where(
-            slots >= 0, rowids[0][jnp.maximum(slots, 0)], jnp.int32(-1)
-        )
+        safe = jnp.maximum(slots, 0)
+        gids_hi = jnp.where(slots >= 0, rowids_hi[0][safe], jnp.int32(-1))
+        gids_lo = jnp.where(slots >= 0, rowids_lo[0][safe], jnp.int32(-1))
         dists = jnp.where(slots >= 0, res.topk_dists, jnp.inf)
         # Exchange candidate sets: all_gather over the data axis -> [S, B, k].
-        all_ids = jax.lax.all_gather(gids, DATA_AXIS)
+        all_hi = jax.lax.all_gather(gids_hi, DATA_AXIS)
+        all_lo = jax.lax.all_gather(gids_lo, DATA_AXIS)
         all_dists = jax.lax.all_gather(dists, DATA_AXIS)
-        # Deterministic global merge: sort union by (dist, rowid), take k.
+        # Deterministic global merge: sort union by (dist, rowid64), take k.
+        # The low half is XOR-biased so signed int32 order matches unsigned
+        # bit order; invalid entries sort last on dist=+inf regardless.
         B = queries.shape[0]
-        flat_ids = jnp.moveaxis(all_ids, 0, 1).reshape(B, -1)
+        flat_hi = jnp.moveaxis(all_hi, 0, 1).reshape(B, -1)
+        flat_lo = jnp.moveaxis(all_lo, 0, 1).reshape(B, -1)
         flat_dists = jnp.moveaxis(all_dists, 0, 1).reshape(B, -1)
-        m_dists, m_ids = topk_ops.topk_by_distance(flat_dists, flat_ids, k)
-        return m_ids, m_dists
+        lo_key = flat_lo ^ jnp.int32(-0x80000000)
+        m_dists, m_hi, m_key = jax.lax.sort(
+            (flat_dists, flat_hi, lo_key), dimension=-1, num_keys=3
+        )
+        m_lo = m_key ^ jnp.int32(-0x80000000)
+        return m_hi[..., :k], m_lo[..., :k], m_dists[..., :k]
 
     fn = shard_map(
         shard_fn,
@@ -216,12 +244,16 @@ def sharded_search(
             jax.tree.map(lambda _: spec, stacked.arrays),
             spec,
             spec,
+            spec,
             rep,
         ),
-        out_specs=(rep, rep),
+        out_specs=(rep, rep, rep),
         check_vma=False,
     )
-    return fn(stacked.arrays, stacked.rowids, stacked.entry, queries)
+    return fn(
+        stacked.arrays, stacked.rowids_hi, stacked.rowids_lo,
+        stacked.entry, queries,
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -71,10 +71,46 @@ uint32_t crc32_buf(const uint8_t* buf, size_t len, uint32_t seed) {
   return c ^ 0xFFFFFFFFu;
 }
 
+// Full-transfer pwrite/pread loops. One pwrite syscall is capped (~2GiB on
+// Linux) and a short transfer does NOT set errno, so single-call I/O over a
+// large checkpoint silently truncates; loop until every byte moves and
+// return a distinct error for genuinely short transfers (EOF on read).
+constexpr int kErrShortIO = -75000;  // distinct from any -errno
+
+int full_pwrite(int fd, const uint8_t* buf, size_t len, off_t off) {
+  while (len > 0) {
+    ssize_t w = pwrite(fd, buf, len, off);
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      return -errno;
+    }
+    if (w == 0) return kErrShortIO;
+    buf += w;
+    off += w;
+    len -= (size_t)w;
+  }
+  return 0;
+}
+
+int full_pread(int fd, uint8_t* buf, size_t len, off_t off) {
+  while (len > 0) {
+    ssize_t r = pread(fd, buf, len, off);
+    if (r < 0) {
+      if (errno == EINTR) continue;
+      return -errno;
+    }
+    if (r == 0) return kErrShortIO;  // EOF before len bytes
+    buf += r;
+    off += r;
+    len -= (size_t)r;
+  }
+  return 0;
+}
+
 bool write_header(Store* s) {
   uint8_t page[kHeaderSize] = {0};
   std::memcpy(page, &s->hdr, sizeof(Header));
-  return pwrite(s->fd, page, kHeaderSize, 0) == (ssize_t)kHeaderSize;
+  return full_pwrite(s->fd, page, kHeaderSize, 0) == 0;
 }
 
 off_t block_offset(const Store* s, uint64_t idx) {
@@ -102,7 +138,7 @@ void* bs_open(const char* path, uint32_t block_size, int create) {
   }
   if (st.st_size >= (off_t)kHeaderSize) {
     uint8_t page[kHeaderSize];
-    if (pread(s->fd, page, kHeaderSize, 0) != (ssize_t)kHeaderSize) {
+    if (full_pread(s->fd, page, kHeaderSize, 0) != 0) {
       ::close(s->fd);
       delete s;
       return nullptr;
@@ -152,8 +188,8 @@ int bs_truncate(void* h, uint64_t num_blocks) {
 int bs_write_blocks(void* h, uint64_t first_idx, uint64_t n, const uint8_t* buf) {
   Store* s = (Store*)h;
   size_t bytes = (size_t)n * s->hdr.block_size;
-  ssize_t w = pwrite(s->fd, buf, bytes, block_offset(s, first_idx));
-  if (w != (ssize_t)bytes) return -errno;
+  int rc = full_pwrite(s->fd, buf, bytes, block_offset(s, first_idx));
+  if (rc != 0) return rc;
   if (first_idx + n > s->hdr.num_blocks) {
     s->hdr.num_blocks = first_idx + n;
     if (!write_header(s)) return -EIO;
@@ -167,9 +203,9 @@ int bs_write_blocks_at(void* h, const uint64_t* indices, uint64_t n,
   Store* s = (Store*)h;
   uint64_t max_idx = 0;
   for (uint64_t i = 0; i < n; ++i) {
-    ssize_t w = pwrite(s->fd, buf + (size_t)i * s->hdr.block_size,
-                       s->hdr.block_size, block_offset(s, indices[i]));
-    if (w != (ssize_t)s->hdr.block_size) return -errno;
+    int rc = full_pwrite(s->fd, buf + (size_t)i * s->hdr.block_size,
+                         s->hdr.block_size, block_offset(s, indices[i]));
+    if (rc != 0) return rc;
     if (indices[i] > max_idx) max_idx = indices[i];
   }
   if (n && max_idx + 1 > s->hdr.num_blocks) {
@@ -182,18 +218,16 @@ int bs_write_blocks_at(void* h, const uint64_t* indices, uint64_t n,
 int bs_read_blocks(void* h, uint64_t first_idx, uint64_t n, uint8_t* buf) {
   Store* s = (Store*)h;
   size_t bytes = (size_t)n * s->hdr.block_size;
-  ssize_t r = pread(s->fd, buf, bytes, block_offset(s, first_idx));
-  if (r != (ssize_t)bytes) return -errno;
-  return 0;
+  return full_pread(s->fd, buf, bytes, block_offset(s, first_idx));
 }
 
 int bs_read_blocks_at(void* h, const uint64_t* indices, uint64_t n,
                       uint8_t* buf) {
   Store* s = (Store*)h;
   for (uint64_t i = 0; i < n; ++i) {
-    ssize_t r = pread(s->fd, buf + (size_t)i * s->hdr.block_size,
-                      s->hdr.block_size, block_offset(s, indices[i]));
-    if (r != (ssize_t)s->hdr.block_size) return -errno;
+    int rc = full_pread(s->fd, buf + (size_t)i * s->hdr.block_size,
+                        s->hdr.block_size, block_offset(s, indices[i]));
+    if (rc != 0) return rc;
   }
   return 0;
 }

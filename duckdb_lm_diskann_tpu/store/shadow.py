@@ -161,6 +161,21 @@ class ShadowStorageService:
         cur = self._conn.execute("SELECT block_id, crc32 FROM block_checksums")
         return {int(b): int(v) for b, v in cur.fetchall()}
 
+    def reset(self) -> None:
+        """Drop all persisted state (CREATE INDEX over a stale directory /
+        HandleCommitDrop): clears lookup, deltas, tombstones, checksums, and
+        metadata in one transaction."""
+        c = self._conn
+        with c:
+            for table in (
+                "lmd_lookup",
+                "__lmd_blocks",
+                "tombstoned_nodes",
+                "block_checksums",
+                "index_metadata",
+            ):
+                c.execute(f"DELETE FROM {table}")
+
     def close(self) -> None:
         self._conn.close()
 

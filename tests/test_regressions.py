@@ -1,0 +1,133 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md).
+
+Each test pins one reported defect:
+  1. Reopen workflow: create_index over a persisted index directory.
+  2. Reopen with conflicting layout options must raise, not silently
+     serialize a mismatched layout.
+  3. Sharded search with row ids >= 2^31 (int64 ids survive the device
+     hi/lo split).
+  4. Insert rollback clears the valid mask and leaves slots in the pending
+     deletion queue (no immediate recycling).
+"""
+
+import numpy as np
+import pytest
+
+from duckdb_lm_diskann_tpu.common.types import MetricType, VectorType
+from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+from duckdb_lm_diskann_tpu.db.database import connect
+
+
+OPTS = {"metric": "cosine", "r": 4, "l_insert": 8, "l_search": 16}
+
+
+def _make_db(tmp_path, rng, n=48, d=8):
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    db = connect(str(tmp_path / "db"))
+    t = db.create_table("t", {"v": data})
+    db.create_index("idx", t, "v", options=dict(OPTS))
+    db.checkpoint()
+    return data
+
+
+def test_reopen_create_index_reuses_persisted(tmp_path, rng):
+    data = _make_db(tmp_path, rng)
+    # Natural reopen workflow: recreate table + create_index after restart.
+    db2 = connect(str(tmp_path / "db"))
+    t2 = db2.create_table("t", {"v": data})
+    idx2 = db2.create_index("idx", t2, "v", options=dict(OPTS))
+    assert idx2.coordinator.count == len(data)
+    res = db2.knn("t", "v", data[3], 3, metric="cosine")
+    assert 3 in res["row_ids"].tolist()
+
+
+def test_reopen_create_index_rebuilds_on_row_mismatch(tmp_path, rng):
+    data = _make_db(tmp_path, rng)
+    # Reopen with a DIFFERENT row set: must rebuild, not crash on
+    # duplicate-rowid bulk_build into the loaded coordinator.
+    db2 = connect(str(tmp_path / "db"))
+    t2 = db2.create_table("t", {"v": data[:20]})
+    idx2 = db2.create_index("idx", t2, "v", options=dict(OPTS))
+    assert idx2.coordinator.count == 20
+
+
+def test_reopen_conflicting_layout_options_raise(tmp_path, rng):
+    data = _make_db(tmp_path, rng)
+    db2 = connect(str(tmp_path / "db"))
+    t2 = db2.create_table("t", {"v": data})
+    bad = dict(OPTS)
+    bad["r"] = 8  # persisted index has r=4
+    with pytest.raises(ValueError, match="conflicts with the persisted"):
+        db2.create_index("idx", t2, "v", options=bad)
+    # Unspecified options take the persisted values, no error.
+    db3 = connect(str(tmp_path / "db"))
+    t3 = db3.create_table("t", {"v": data})
+    idx3 = db3.create_index("idx", t3, "v")
+    assert idx3.config.r == 4
+
+
+def test_sharded_search_preserves_int64_rowids(rng):
+    from duckdb_lm_diskann_tpu.parallel.mesh import make_mesh
+    from duckdb_lm_diskann_tpu.parallel.sharded import ShardedIndex
+
+    dims, n, k = 8, 120, 3
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.COSINE, r=4, l_insert=8, l_search=24,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+    )
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    base = (1 << 40) + 7  # far beyond int32
+    rowids = base + np.arange(n, dtype=np.int64)
+    idx = ShardedIndex(cfg, mesh=make_mesh(4))
+    idx.build(rowids, data)
+    ids, dists = idx.search(data[:6], k)
+    assert ids.dtype == np.int64
+    np.testing.assert_array_equal(ids[:, 0], rowids[:6])
+
+
+def test_insert_rollback_clears_valid_and_defers_recycling(rng, monkeypatch):
+    import duckdb_lm_diskann_tpu.core.coordinator as coord_mod
+    from duckdb_lm_diskann_tpu.core import builder
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.COSINE, r=4, l_insert=8, l_search=16,
+        dimensions=8, node_vector_type=VectorType.FLOAT32,
+    )
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((20, 8)).astype(np.float32)
+    coord.insert(list(range(20)), data)
+
+    real_insert_batch = builder.insert_batch
+    calls = {"n": 0}
+
+    def failing_insert_batch(arrays, slots, vecs, entry, params, pad_to=None):
+        # Store the vectors (marks valid) then die — the mid-insert crash.
+        calls["n"] += 1
+        arrays = builder.store_vectors(
+            arrays,
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(slots),
+            __import__("jax.numpy", fromlist=["asarray"]).asarray(vecs),
+        )
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(coord_mod, "insert_batch", failing_insert_batch)
+    new_vecs = rng.standard_normal((4, 8)).astype(np.float32)
+    with pytest.raises(RuntimeError):
+        coord.insert(list(range(100, 104)), new_vecs)
+    monkeypatch.setattr(coord_mod, "insert_batch", real_insert_batch)
+
+    # Rolled-back slots: unmapped, not valid, queued for vacuum (not free).
+    assert all(r not in coord.allocator.rowid_to_slot for r in range(100, 104))
+    valid = np.asarray(coord.arrays.valid)
+    assert len(coord.allocator.pending_deletion) == 4
+    for slot in coord.allocator.pending_deletion:
+        assert not valid[slot]
+    assert not coord.allocator.free_slots  # no immediate recycling
+
+    # Searches never surface the rolled-back slots.
+    ids, _ = coord.search(new_vecs, 3)
+    assert (ids < 100).all()
+    # Vacuum reclaims them.
+    assert coord.vacuum() == 4
+    assert len(coord.allocator.free_slots) == 4
