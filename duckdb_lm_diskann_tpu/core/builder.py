@@ -141,7 +141,10 @@ def write_neighbor_rows(
     safe_nbr = jnp.maximum(nbr_slots, 0)
     nbr_vecs = arrays.vectors[safe_nbr]  # [T, R, D]
 
-    new = {"neighbors": arrays.neighbors.at[tgt].set(nbr_slots, mode="drop")}
+    new = {
+        "neighbors": arrays.neighbors.at[tgt].set(nbr_slots, mode="drop"),
+        "dirty_rows": arrays.dirty_rows.at[tgt].set(True, mode="drop"),
+    }
     et = params.edge_type
     if et is EdgeType.TERNARY:
         pos, neg = encode_ternary(nbr_vecs)  # [T, R, W]
@@ -175,6 +178,7 @@ def store_vectors(
         vectors=arrays.vectors.at[idx].set(vecs.astype(jnp.float32), mode="drop"),
         valid=arrays.valid.at[idx].set(True, mode="drop"),
         neighbors=arrays.neighbors.at[idx].set(-1, mode="drop"),
+        dirty_rows=arrays.dirty_rows.at[idx].set(True, mode="drop"),
     )
 
 
@@ -185,64 +189,17 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
     return p
 
 
-# Shape discipline: XLA compiles are expensive (tens of seconds for the
-# prune program on TPU), so the reciprocal pass admits exactly TWO shapes —
-# a small one for sequential/dynamic inserts and one chunk size for bulk
-# builds; larger target sets split into multiple shape-identical rounds.
-_T_SMALL = 256
-_T_CHUNK = 8192
-
-
-def group_reciprocal_targets(
-    new_slots: np.ndarray, visited: np.ndarray
-) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Group the (visited target <- new node) reciprocal pairs by target.
-
-    The target set is each new node's FULL visited set — libSQL's second
-    pass adds the new node as a candidate edge of *every* visited node
-    (vectordiskann.c:1588-1606), which is what populates in-links across
-    distance scales. Returns ROUNDS [(targets [U], new_cand [U]), ...] with
-    -1 padding: within a round targets are unique (pairs are independent),
-    duplicate targets spill into later rounds (sequential semantics, like
-    the reference's in-order visits); targets ascending, candidates per
-    target ascending — deterministic. U comes from two fixed buckets so a
-    steady-state build compiles the insertion kernel once.
-    """
-    groups: dict[int, list[int]] = {}
-    for m in range(visited.shape[0]):
-        src = int(new_slots[m])
-        if src < 0:
-            continue
-        for t in visited[m]:
-            t = int(t)
-            if t >= 0 and t != src:
-                groups.setdefault(t, []).append(src)
-    if not groups:
-        return []
-    targets = sorted(groups)
-    for t in targets:
-        groups[t] = sorted(groups[t])
-    rounds = []
-    round_idx = 0
-    while True:
-        rows = [
-            (t, groups[t][round_idx])
-            for t in targets
-            if round_idx < len(groups[t])
-        ]
-        if not rows:
-            break
-        U = _T_SMALL if len(rows) <= _T_SMALL else _T_CHUNK
-        for off in range(0, len(rows), U):
-            chunk = rows[off : off + U]
-            tgt_arr = np.full(U, -1, np.int32)
-            cand_arr = np.full(U, -1, np.int32)
-            for i, (t, c) in enumerate(chunk):
-                tgt_arr[i] = t
-                cand_arr[i] = c
-            rounds.append((tgt_arr, cand_arr))
-        round_idx += 1
-    return rounds
+def _rank_within_group(keys: jnp.ndarray, big: jnp.ndarray) -> jnp.ndarray:
+    """Given ascending-sorted keys [P] (invalid == big at the tail), return
+    each element's 0-based rank within its run of equal keys. Pure device
+    code (iota + cummax), no host round-trip."""
+    P = keys.shape[0]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_first, idx, 0))
+    return idx - run_start
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -376,6 +333,142 @@ def force_edge_round(
     return write_neighbor_rows(arrays, write_tgt, new_nbr, params=params)
 
 
+# Reciprocal-pass width for bulk batches: each new node reciprocates with
+# its RECIP_K closest visited nodes (res.topk_slots) rather than all of
+# them — distant targets overwhelmingly reject the newcomer via the
+# domination test (d(t,c) > alpha*d(e,c) with e near c), so all-visited
+# reciprocation (vectordiskann.c:1588) spends ~10x the work on rejected
+# insertions. Batch size 1 keeps the full visited set for exact
+# oracle/libSQL parity. Per-target candidate *caps* proved unsafe in round
+# 1 (coverage holes; recall 0.80 -> 0.12) — RECIP_ROUNDS below caps only
+# how many same-batch newcomers ONE target accepts, with the in-link
+# guarantee as the backstop for the dropped sources.
+_RECIP_K = 32
+_RECIP_ROUNDS = 8
+_FORCE_ROUNDS = 2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "full_visited", "recip_rounds"),
+    donate_argnums=(0,),
+)
+def insert_step(
+    arrays: GraphArrays,
+    new_slots: jnp.ndarray,  # i32[M] pre-allocated slots (-1 padded)
+    new_vecs: jnp.ndarray,  # f32[M, D]
+    entry_slot: jnp.ndarray,  # i32[]
+    *,
+    params: GraphParams,
+    full_visited: bool,
+    recip_rounds: int,
+) -> GraphArrays:
+    """One whole batched insert as a single device program — store vectors,
+    candidate search, RobustPrune, neighbor write, reciprocal replace/prune
+    rounds, and the orphan in-link guarantee — with zero host round-trips.
+    (Round 1 grouped the reciprocal pairs in a Python dict loop and
+    dispatched one kernel per round; the host grouping + per-round
+    serialization bound the build at ~520 inserts/s.)
+
+    Pass 1 — candidate search with L = L_insert
+    (SearchForInitialCandidates, Searcher.cpp:275-294), then RobustPrune
+    over the FULL visited set — libSQL's ground-truth rule ("first pass -
+    add all visited nodes as potential neighbours", vectordiskann.c:
+    1571-1586). The visited set includes the far-away path nodes from the
+    entry point, which is what lets the alpha-prune keep long-range edges
+    at every distance scale. The search runs on the pre-batch graph: new
+    slots are unreachable.
+
+    Pass 2 — reciprocal interconnect (vectordiskann.c:1588-1606) with
+    libSQL's replace/prune edge insertion, applied per target. Duplicate
+    targets are resolved by on-device rank-within-group (sort by
+    (target, source) + cummax): round r applies each target's r-th
+    candidate, so within a round targets are unique and pairs commute;
+    ranks beyond ``recip_rounds`` are dropped (the target already accepted
+    that many same-batch in-links). Candidate order per target is ascending
+    source slot — deterministic on every backend.
+
+    The arrays argument is DONATED: at 1M x R=64 x 128d the edge cache
+    alone is ~8 GB, and functional updates without donation would double
+    the HBM footprint.
+    """
+    M = new_slots.shape[0]
+    arrays = store_vectors(arrays, new_slots, new_vecs)
+    res = search_for_initial_candidates(
+        arrays,
+        new_vecs,
+        entry_slot,
+        params=params,
+        l_insert=params.l_insert,
+    )
+    sel = batched_robust_prune(
+        arrays, new_vecs, res.visited_slots, new_slots, params=params
+    )
+    # Padded rows carry slot -1 -> dropped by write_neighbor_rows.
+    arrays = write_neighbor_rows(arrays, new_slots, sel, params=params)
+
+    # --- reciprocal pairs ---
+    if full_visited:
+        recip = res.visited_slots  # [M, V] (sequential/libSQL parity)
+    else:
+        recip = res.topk_slots[:, : min(_RECIP_K, params.l_insert)]
+    K = recip.shape[1]
+    src = jnp.repeat(new_slots, K)  # [P]
+    tgt = recip.reshape(-1)  # [P]
+    ok = (tgt >= 0) & (src >= 0) & (tgt != src)
+    big = jnp.int32(arrays.capacity + 1)
+    tgt_key = jnp.where(ok, tgt, big)
+    tgt_s, src_s = jax.lax.sort((tgt_key, src), num_keys=2)
+    rank = _rank_within_group(tgt_s, big)
+    pair_ok = tgt_s < big
+    tgt_s = jnp.where(pair_ok, tgt_s, -1)
+    src_s = jnp.where(pair_ok, src_s, -1)
+
+    cap = arrays.capacity
+    accepted0 = jnp.zeros((cap + 1,), jnp.int32)
+
+    def recip_round(r, carry):
+        arrays, accepted = carry
+        active = pair_ok & (rank == r)
+        t_r = jnp.where(active, tgt_s, -1)
+        c_r = jnp.where(active, src_s, -1)
+        arrays, do = replace_edge_round(arrays, t_r, c_r, params=params)
+        at = jnp.where(do & (c_r >= 0), c_r, cap)
+        accepted = accepted.at[at].max(jnp.ones_like(at))
+        return arrays, accepted
+
+    arrays, accepted = jax.lax.fori_loop(
+        0, recip_rounds, recip_round, (arrays, accepted0)
+    )
+
+    # --- in-link guarantee: force-link rejected newcomers at their nearest
+    # selected neighbor (first selection = closest by construction). Dense
+    # regions can reject a newcomer at all of its visited nodes, leaving it
+    # with zero in-links — permanently unreachable; the reference inherits
+    # this failure mode from libSQL and papers over it with random entry
+    # points. Duplicate force-targets resolve by the same rank trick.
+    acc_new = (accepted[jnp.clip(new_slots, 0, cap)] > 0) | (new_slots < 0)
+    nearest = sel[:, 0]
+    orphan = (~acc_new) & (nearest >= 0) & (new_slots >= 0)
+    t_f = jnp.where(orphan, nearest, big)
+    t_fs, c_fs = jax.lax.sort((t_f, new_slots), num_keys=2)
+    rank_f = _rank_within_group(t_fs, big)
+    f_ok = t_fs < big
+
+    def force_round(r, arrays):
+        active = f_ok & (rank_f == r)
+        return force_edge_round(
+            arrays,
+            jnp.where(active, t_fs, -1),
+            jnp.where(active, c_fs, -1),
+            params=params,
+        )
+
+    return jax.lax.fori_loop(
+        0, min(_FORCE_ROUNDS, M), force_round, arrays
+    )
+
+
 def insert_batch(
     arrays: GraphArrays,
     new_slots: np.ndarray,  # i32[M] pre-allocated slots
@@ -384,8 +477,9 @@ def insert_batch(
     params: GraphParams,
     pad_to: int | None = None,
 ) -> GraphArrays:
-    """Insert a batch of nodes into the graph (device arrays functional
-    update). Caller owns slot allocation and capacity growth.
+    """Insert a batch of nodes into the graph (functional device update).
+    Caller owns slot allocation and capacity growth. Thin host shim over
+    :func:`insert_step`: pads the batch, picks the reciprocal mode.
 
     ``pad_to`` pads the batch with masked dummy rows so repeated calls share
     ONE compiled shape (ramp batches during bulk build would otherwise each
@@ -403,93 +497,25 @@ def insert_batch(
         )
     new_slots_d = jnp.asarray(new_slots, jnp.int32)
     new_vecs_d = jnp.asarray(new_vecs, jnp.float32)
-    arrays = store_vectors(arrays, new_slots_d, new_vecs_d)
     if entry_slot < 0:
         # First batch bootstrap: node 0 of the batch becomes the entry point
         # with no neighbors (AddNode first-node path, GraphManager.cpp:118-121).
         if M == 1:
-            return arrays
+            return store_vectors(arrays, new_slots_d, new_vecs_d)
         raise ValueError("first insert into an empty graph must be a single node")
-
-    # Pass 1: candidate search with L = L_insert (SearchForInitialCandidates,
-    # Searcher.cpp:275-294), then RobustPrune over the FULL visited set —
-    # libSQL's ground-truth rule ("first pass - add all visited nodes as
-    # potential neighbours", vectordiskann.c:1571-1586). The visited set
-    # includes the far-away path nodes from the entry point, which is what
-    # lets the alpha-prune keep long-range edges at every distance scale;
-    # pruning only the top-L closest (the C++ core's choice,
-    # GraphManager.cpp:129-138) starves dense regions of long edges.
-    # The search runs on the pre-batch graph: new slots are unreachable.
-    res = search_for_initial_candidates(
+    # Batch 1 keeps sequential/libSQL parity: full visited set, every
+    # target applied (visited sets are duplicate-free, so one round covers
+    # all pairs).
+    full = M == 1
+    return insert_step(
         arrays,
+        new_slots_d,
         new_vecs_d,
         jnp.int32(entry_slot),
         params=params,
-        l_insert=params.l_insert,
+        full_visited=full,
+        recip_rounds=1 if full else _RECIP_ROUNDS,
     )
-    sel = batched_robust_prune(
-        arrays, new_vecs_d, res.visited_slots, new_slots_d, params=params
-    )
-    # Padded rows carry slot -1 -> dropped by write_neighbor_rows.
-    arrays = write_neighbor_rows(arrays, new_slots_d, sel, params=params)
-
-    # Pass 2: reciprocal interconnect over ALL visited nodes with libSQL's
-    # replace/prune edge insertion (vectordiskann.c:1588-1606), grouped by
-    # target, bucketed shapes, sequential rounds for duplicate targets.
-    # Track which new nodes got at least one accepted in-link.
-    # For bulk batches, each new node reciprocates with its CLOSEST visited
-    # nodes (res.topk_slots = visited sorted by exact distance) rather than
-    # all of them: distant targets overwhelmingly reject the newcomer via
-    # the domination test (d(t,c) > alpha*d(e,c) with e near c), so
-    # all-visited reciprocation (vectordiskann.c:1588) spends ~10x the
-    # rounds on rejected insertions — and per-target candidate *caps* are
-    # unsafe (coverage holes starve late-batch nodes of in-links; measured
-    # recall 0.80 -> 0.12). Batch size 1 keeps the full visited set for
-    # exact oracle/libSQL parity.
-    if M > 1:
-        recip = np.asarray(res.topk_slots[:M, : min(32, params.l_insert)])
-    else:
-        recip = np.asarray(res.visited_slots[:M])
-    accepted: dict[int, bool] = {int(s): False for s in new_slots[:M] if s >= 0}
-    round_results = []  # (new_c host array, do device array) — sync once
-    for tgt, new_c in group_reciprocal_targets(new_slots[:M], recip):
-        arrays, do = replace_edge_round(
-            arrays,
-            jnp.asarray(tgt, jnp.int32),
-            jnp.asarray(new_c, jnp.int32),
-            params=params,
-        )
-        round_results.append((new_c, do))
-    for new_c, do in round_results:
-        do_np = np.asarray(do)
-        for c in np.asarray(new_c)[do_np]:
-            if int(c) in accepted:
-                accepted[int(c)] = True
-
-    # In-link guarantee: force-link rejected newcomers at their nearest
-    # selected neighbor (first selection = closest by construction).
-    sel_np = np.asarray(sel[:M])
-    orphan_t, orphan_c = [], []
-    for m, s in enumerate(new_slots[:M]):
-        s = int(s)
-        if s >= 0 and not accepted.get(s, True) and sel_np[m, 0] >= 0:
-            orphan_t.append(int(sel_np[m, 0]))
-            orphan_c.append(s)
-    if orphan_c:
-        # Orphans may share a nearest neighbor: reuse the unique-target
-        # round grouping so one force round never scatters to a duplicate
-        # target (deterministic write order).
-        for t_arr, c_arr in group_reciprocal_targets(
-            np.asarray(orphan_c, np.int32),
-            np.asarray(orphan_t, np.int32)[:, None],
-        ):
-            arrays = force_edge_round(
-                arrays,
-                jnp.asarray(t_arr),
-                jnp.asarray(c_arr),
-                params=params,
-            )
-    return arrays
 
 
 def build_schedule(n: int, max_batch: int = 1024) -> list[int]:

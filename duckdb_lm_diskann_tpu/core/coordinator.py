@@ -30,7 +30,7 @@ import numpy as np
 
 from ..common.types import INVALID_ROW_ID, MetricType, VectorType
 from ..utils.tracing import SearchStats
-from .builder import insert_batch
+from .builder import _pow2_at_least, insert_batch
 from .config import LmDiskannConfig
 from .graph import (
     GraphArrays,
@@ -286,43 +286,69 @@ class Coordinator:
         # out-edges as prune candidates (the FreshDiskANN-style local repair
         # the V2 design defers to merge time, Consolidated Proposal:171-186;
         # libSQL only unlinks, vectordiskann.c:1666-1686, and relies on a
-        # random entry point to paper over lost in-links). One batched
-        # RobustPrune per deleted node, fixed [R, 2R] shape.
+        # random entry point to paper over lost in-links).
+        #
+        # Batched: ALL (target, deleted) repair pairs of the delete batch
+        # are grouped with numpy (no per-node Python loops); round r repairs
+        # each target against its r-th adjacent deleted node with ONE fused
+        # RobustPrune + neighbor write over every target in the round —
+        # round count = max adjacency multiplicity (1 for almost all rows),
+        # so a 1k-row delete costs one or two device dispatches, vs one per
+        # deleted row in round 1 (the paper's per-row delete is ~45 ms,
+        # Table IV; see bench.py delete_ms_per_row).
         from .builder import batched_robust_prune, write_neighbor_rows
 
         R = self.params.r
         nbr_rows = np.asarray(self.arrays.neighbors[jnp.asarray(del_slots)])
-        for di, d_slot in enumerate(int(s) for s in del_slots):
-            d_list = [int(s) for s in nbr_rows[di] if s >= 0]
-            tgts = [t for t in d_list if t not in del_set]
-            if not tgts:
-                continue
-            tgt_arr = np.full(R, -1, np.int32)
-            tgt_arr[: len(tgts)] = tgts
-            cur = np.asarray(
-                self.arrays.neighbors[jnp.asarray(np.maximum(tgt_arr, 0))]
+        Dn = len(del_slots)
+        tgt = nbr_rows.ravel()
+        di = np.repeat(np.arange(Dn, dtype=np.int32), R)
+        keep_pair = (tgt >= 0) & ~np.isin(tgt, del_slots)
+        tgt, di = tgt[keep_pair], di[keep_pair]
+        if len(tgt):
+            order = np.lexsort((di, tgt))
+            tgt, di = tgt[order], di[order]
+            first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
+            starts = np.maximum.accumulate(
+                np.where(first, np.arange(len(tgt)), 0)
             )
-            cand = np.full((R, 2 * R), -1, np.int32)
-            for i, t in enumerate(tgts):
-                keep = [int(s) for s in cur[i] if s >= 0 and int(s) not in del_set]
-                extra = [s for s in d_list if s != t and s not in del_set]
-                merged = (keep + extra)[: 2 * R]
-                cand[i, : len(merged)] = merged
-            tgt_d = jnp.asarray(tgt_arr)
-            sel = batched_robust_prune(
-                self.arrays,
-                self.arrays.vectors[jnp.maximum(tgt_d, 0)],
-                jnp.asarray(cand),
-                tgt_d,
-                params=self.params,
-            )
-            self.arrays = write_neighbor_rows(
-                self.arrays, tgt_d, sel, params=self.params
-            )
+            ranks = np.arange(len(tgt)) - starts
+            for r in range(int(ranks.max()) + 1):
+                m = ranks == r
+                t_r, d_r = tgt[m], di[m]  # unique targets this round
+                u = len(t_r)
+                pad = _pow2_at_least(u, 256)
+                t_pad = np.full(pad, -1, np.int32)
+                t_pad[:u] = t_r
+                t_d = jnp.asarray(t_pad)
+                # Candidates: the target's CURRENT neighbors (post earlier
+                # rounds) + the adjacent deleted node's out-edges; deleted
+                # slots and self masked out.
+                cur = np.asarray(self.arrays.neighbors[jnp.maximum(t_d, 0)])
+                extra = np.full((pad, R), -1, np.int32)
+                extra[:u] = nbr_rows[d_r]
+                cand = np.concatenate([cur, extra], axis=1)  # [pad, 2R]
+                cand = np.where(
+                    np.isin(cand, del_slots) | (cand == t_pad[:, None]),
+                    -1,
+                    cand,
+                )
+                sel = batched_robust_prune(
+                    self.arrays,
+                    self.arrays.vectors[jnp.maximum(t_d, 0)],
+                    jnp.asarray(cand),
+                    t_d,
+                    params=self.params,
+                )
+                self.arrays = write_neighbor_rows(
+                    self.arrays, t_d, sel, params=self.params
+                )
 
         # Tombstone + unmap + enqueue (EnqueueDeletion + FreeNode).
+        del_idx = jnp.asarray(del_slots)
         self.arrays = self.arrays._replace(
-            valid=self.arrays.valid.at[jnp.asarray(del_slots)].set(False)
+            valid=self.arrays.valid.at[del_idx].set(False),
+            dirty_rows=self.arrays.dirty_rows.at[del_idx].set(True),
         )
         for r in present:
             self.allocator.free(r)

@@ -62,6 +62,11 @@ class GraphArrays(NamedTuple):
     edge_i8: jnp.ndarray  # i8[C, R, D]   (INT8)    else [C, 0, 0]
     edge_scale: jnp.ndarray  # f32[C, R]     (INT8)    else [C, 0]
     edge_f32: jnp.ndarray  # f32[C, R, D]  (FLOAT32) else [C, 0, 0]
+    # Rows mutated since the last checkpoint (the V2 design's dirty-block
+    # ring, Consolidated Proposal:96-107): store_vectors/write_neighbor_rows
+    # set it, deletes set it, checkpoint persists only dirty blocks and
+    # clears it. Cost: one bool per slot.
+    dirty_rows: jnp.ndarray  # bool[C]
 
     @property
     def capacity(self) -> int:
@@ -129,6 +134,7 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
         edge_i8=jnp.zeros((capacity, r if i8 else 0, d if i8 else 0), jnp.int8),
         edge_scale=jnp.zeros((capacity, r if i8 else 0), jnp.float32),
         edge_f32=jnp.zeros((capacity, r if f32 else 0, d if f32 else 0), jnp.float32),
+        dirty_rows=jnp.zeros((capacity,), jnp.bool_),
     )
 
 

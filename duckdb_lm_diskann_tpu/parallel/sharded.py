@@ -271,40 +271,20 @@ def insert_batch_device(
 ) -> GraphArrays:
     """Fully on-device batched insert step (no host round-trip).
 
-    Same structure as core.builder.insert_batch; the reciprocal pass handles
-    duplicate targets by keeping the first (sorted) new source per target —
-    the host-grouped path in core.builder remains the precise default, this
-    variant exists so a whole build step can live inside one jit/shard_map
-    program (the multi-chip 'training step').
+    Since round 2 this IS the single-chip bulk path — builder.insert_step
+    runs the full-quality algorithm (multi-round reciprocal replace/prune +
+    orphan in-link guarantee) entirely on device, so the multi-chip
+    'training step' and the host build are the same algorithm.
     """
-    M = new_vecs.shape[0]
-    arrays = builder.store_vectors(arrays, new_slots, new_vecs)
-    from ..core.searcher import search_for_initial_candidates
-
-    res = search_for_initial_candidates(
-        arrays, new_vecs, entry_slot, params=params, l_insert=params.l_insert
+    return builder.insert_step(
+        arrays,
+        new_slots,
+        new_vecs,
+        entry_slot,
+        params=params,
+        full_visited=False,
+        recip_rounds=builder._RECIP_ROUNDS,
     )
-    sel = builder.batched_robust_prune(
-        arrays, new_vecs, res.visited_slots, new_slots, params=params
-    )
-    arrays = builder.write_neighbor_rows(arrays, new_slots, sel, params=params)
-
-    # Reciprocal pass, device-only: flatten (visited target, src) pairs,
-    # sort by (target, src), keep the first pair per target, apply libSQL's
-    # replace/prune edge insertion.
-    V = res.visited_slots.shape[1]
-    tgts = res.visited_slots.reshape(-1)  # [M*V]
-    srcs = jnp.repeat(new_slots, V)  # [M*V]
-    big = arrays.capacity + 1
-    key = jnp.where(tgts >= 0, tgts, big)
-    key_sorted, src_sorted = jax.lax.sort((key, srcs), num_keys=2)
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), key_sorted[1:] != key_sorted[:-1]]
-    ) & (key_sorted < big)
-    tgt_u = jnp.where(first, key_sorted, -1).astype(jnp.int32)
-    src_u = jnp.where(first, src_sorted, -1)
-    arrays, _ = builder.replace_edge_round(arrays, tgt_u, src_u, params=params)
-    return arrays
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "params"))

@@ -74,57 +74,109 @@ def _config_from_dict(d: dict) -> LmDiskannConfig:
     )
 
 
-def save_index(coord: Coordinator, directory: str | os.PathLike) -> None:
+def save_index(coord: Coordinator, directory: str | os.PathLike) -> dict:
     """Two-phase checkpoint of a Coordinator into an index directory
     (the per-index directory the reference creates as
-    ``<db>.lmd_idx/<index>/``, db/LmDiskannIndex.cpp:165-235)."""
+    ``<db>.lmd_idx/<index>/``, db/LmDiskannIndex.cpp:165-235).
+
+    Incremental: when the directory already holds a committed checkpoint
+    and graph.lmd shut down clean, only rows flagged in
+    ``arrays.dirty_rows`` are encoded + written (the V2 dirty-block design,
+    Consolidated Proposal:96-107,188-211) via scattered ``write_blocks_at``;
+    otherwise the whole file is rewritten. Crash tolerance: the new CRC of
+    every block about to be written is STAGED in the shadow store before
+    phase 1, so a crash between phases leaves every block matching either
+    its committed (old) or staged (new) checksum — the next load recovers
+    instead of reporting corruption, and the clean_shutdown flag forces
+    that next save to be a full rewrite.
+
+    Returns {"blocks_written", "incremental", "high_water"}.
+    """
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     layout = resolve_layout(coord.config)
     shadow = ShadowStorageService(directory)
     bf = open_block_file(directory / "graph.lmd", layout.block_size, create=True)
     try:
-        bf.mark_dirty(True)
         hw = coord.allocator.high_water
         arrays = coord.arrays
-        # Device -> host (single transfer per array, rows [0, hw)).
-        vectors = np.asarray(arrays.vectors[:hw])
-        neighbors = np.asarray(arrays.neighbors[:hw])  # slots
-        slot_rowids = coord._slot_rowids[:hw]
+        prev_hw = shadow.get_metadata("high_water", None)
+        incremental = (
+            prev_hw is not None
+            and not shadow.get_metadata("broken", False)
+            and bf.clean_shutdown
+            and bf.num_blocks == prev_hw
+            and hw >= prev_hw
+        )
+        if incremental:
+            dirty = np.asarray(arrays.dirty_rows[:hw])
+            idx = np.nonzero(dirty)[0].astype(np.int64)
+        else:
+            idx = np.arange(hw, dtype=np.int64)
+
+        # Device -> host: gather only the rows being written.
+        if incremental:
+            idx_d = jnp.asarray(idx, jnp.int32)
+
+            def pull(a):
+                return np.asarray(a[idx_d])
+        else:
+
+            def pull(a):
+                return np.asarray(a[:hw])
+
+        vectors = pull(arrays.vectors)
+        neighbors = pull(arrays.neighbors)  # slots
+        valid = pull(arrays.valid)
         # slot -> rowid for neighbor serialization; dead targets -> sentinel.
+        slot_rowids = coord._slot_rowids
         nbr_rowids = np.where(
             neighbors >= 0,
             slot_rowids[np.maximum(neighbors, 0)],
             np.int64(INVALID_ROW_ID),
         )
         # valid-masked: blocks of dead slots serialize zeroed.
-        valid = np.asarray(arrays.valid[:hw])
         nbr_rowids = np.where(valid[:, None], nbr_rowids, np.int64(INVALID_ROW_ID))
         kw = {}
         et = coord.params.edge_type
         if et is EdgeType.TERNARY:
-            kw["edge_pos"] = np.asarray(arrays.edge_pos[:hw])
-            kw["edge_neg"] = np.asarray(arrays.edge_neg[:hw])
+            kw["edge_pos"] = pull(arrays.edge_pos)
+            kw["edge_neg"] = pull(arrays.edge_neg)
         elif et is EdgeType.INT8:
-            kw["edge_i8"] = np.asarray(arrays.edge_i8[:hw])
-            kw["edge_scale"] = np.asarray(arrays.edge_scale[:hw])
+            kw["edge_i8"] = pull(arrays.edge_i8)
+            kw["edge_scale"] = pull(arrays.edge_scale)
         elif et is EdgeType.FLOAT32:
-            kw["edge_f32"] = np.asarray(arrays.edge_f32[:hw])
-        blocks = encode_blocks(coord.config, vectors, nbr_rowids, **kw)
-        blocks[~valid] = 0
+            kw["edge_f32"] = pull(arrays.edge_f32)
+        if len(idx):
+            blocks = encode_blocks(coord.config, vectors, nbr_rowids, **kw)
+            blocks[~valid] = 0
+            checksums = bf.crc32_rows(blocks)
+        else:
+            blocks = np.empty((0, layout.block_size), np.uint8)
+            checksums = np.empty(0, np.uint32)
+
+        # Phase 0: stage the intended checksums (before any block write).
+        shadow.clear_staged_checksums()
+        shadow.stage_checksums(idx, checksums)
 
         # Phase 1: write + fsync graph.lmd.
-        bf.truncate(hw)
-        if hw:
-            bf.write_blocks(0, blocks)
+        bf.mark_dirty(True)
+        if incremental:
+            if len(idx):
+                bf.write_blocks_at(idx, blocks)
+            if bf.num_blocks < hw:
+                bf.truncate(hw)  # slots allocated but never written stay 0
+        else:
+            bf.truncate(hw)
+            if hw:
+                bf.write_blocks(0, blocks)
         bf.sync()
-        checksums = bf.crc32_rows(blocks) if hw else np.empty(0, np.uint32)
 
-        # Phase 2: transactional shadow commit (clears the delta log).
+        # Phase 2: transactional shadow commit (clears delta log + staged).
         shadow.commit_checkpoint(
             lookup=dict(coord.allocator.rowid_to_slot),
             tombstones=coord.allocator.pending_deletion,
-            checksums=checksums,
+            checksums={int(b): int(v) for b, v in zip(idx, checksums)},
             metadata={
                 "format_version": 3,
                 "config": _config_to_dict(coord.config),
@@ -134,9 +186,18 @@ def save_index(coord: Coordinator, directory: str | os.PathLike) -> None:
                 "free_slots": coord.allocator.free_slots,
                 "broken": False,
             },
+            incremental=incremental,
         )
         bf.mark_dirty(False)
+        coord.arrays = arrays._replace(
+            dirty_rows=jnp.zeros_like(arrays.dirty_rows)
+        )
         coord.dirty = False
+        return {
+            "blocks_written": int(len(idx)),
+            "incremental": bool(incremental),
+            "high_water": hw,
+        }
     finally:
         bf.close()
         shadow.close()
@@ -169,8 +230,17 @@ def load_index(
             )
             if verify_checksums and hw:
                 want = shadow.load_checksums()
+                staged = shadow.load_staged_checksums()
                 got = bf.crc32_rows(blocks)
-                bad = [i for i in range(len(got)) if want.get(i) not in (None, int(got[i]))]
+                # A block is consistent if it matches its committed CRC or
+                # a staged (phase-1-written, never-committed) CRC — the two
+                # states a crash between checkpoint phases can leave.
+                bad = [
+                    i
+                    for i in range(len(got))
+                    if want.get(i) not in (None, int(got[i]))
+                    and staged.get(i) != int(got[i])
+                ]
                 if bad:
                     shadow.set_metadata("broken", True)
                     raise IndexCorruptionError(

@@ -275,9 +275,9 @@ class PyBlockFile:
         return bool(self.clean)
 
     def close(self) -> None:
+        # Leaves the clean flag untouched (see blockstore.cpp bs_close):
+        # only mark_dirty(False) after a committed checkpoint marks clean.
         if self._f:
-            self.clean = 1
-            self._write_header()
             self._f.flush()
             self._f.close()
             self._f = None

@@ -160,11 +160,14 @@ void* bs_open(const char* path, uint32_t block_size, int create) {
   return s;
 }
 
+// Close WITHOUT touching the clean_shutdown flag: the flag is the
+// checkpoint protocol's crash marker (bs_mark_dirty(1) before phase 1,
+// bs_mark_dirty(0) after phase 2 commits) — an exception path that still
+// closes the handle must leave the file marked dirty so the next save
+// falls back to a full rewrite.
 int bs_close(void* h) {
   Store* s = (Store*)h;
   if (!s) return -1;
-  s->hdr.clean_shutdown = 1;
-  write_header(s);
   fsync(s->fd);
   int rc = ::close(s->fd);
   delete s;

@@ -47,6 +47,10 @@ CREATE TABLE IF NOT EXISTS block_checksums (
     block_id INTEGER PRIMARY KEY,
     crc32 INTEGER NOT NULL
 );
+CREATE TABLE IF NOT EXISTS staged_checksums (
+    block_id INTEGER PRIMARY KEY,
+    crc32 INTEGER NOT NULL
+);
 """
 
 
@@ -105,18 +109,45 @@ class ShadowStorageService:
 
     # --- checkpoint merge (two-phase, idempotent: Proposal:190-209) ---
 
+    def clear_staged_checksums(self) -> None:
+        with self._conn as c:
+            c.execute("DELETE FROM staged_checksums")
+
+    def stage_checksums(self, block_ids, crcs) -> None:
+        """Phase 0 of a checkpoint: record the intended new CRC of every
+        block about to be (re)written, BEFORE touching graph.lmd. Until the
+        commit promotes them, a block is consistent if it matches EITHER its
+        committed or its staged checksum — which is exactly the two states
+        a crash between phases can leave it in."""
+        with self._conn as c:
+            c.executemany(
+                "INSERT OR REPLACE INTO staged_checksums (block_id, crc32) "
+                "VALUES (?, ?)",
+                [(int(b), int(v)) for b, v in zip(block_ids, crcs)],
+            )
+
+    def load_staged_checksums(self) -> dict[int, int]:
+        cur = self._conn.execute(
+            "SELECT block_id, crc32 FROM staged_checksums"
+        )
+        return {int(b): int(v) for b, v in cur.fetchall()}
+
     def commit_checkpoint(
         self,
         lookup: dict[int, int],
         tombstones,
-        checksums: np.ndarray | None,
+        checksums: "np.ndarray | dict | None",
         metadata: dict,
+        incremental: bool = False,
     ) -> None:
         """Phase 2 of the checkpoint: after graph.lmd has been written and
         fsynced (phase 1), atomically replace the lookup table, tombstones,
-        checksums, and metadata, and clear the delta log. A crash between
-        the phases re-merges harmlessly on next checkpoint (the delta log is
-        still intact, graph.lmd rewrite is idempotent)."""
+        checksums, and metadata, and clear the delta log + staged
+        checksums. A crash between the phases re-merges harmlessly on next
+        checkpoint (the delta log is still intact; blocks match committed
+        or staged CRCs). ``incremental``: upsert ``checksums`` (a
+        {block_id: crc} dict) into the committed table instead of replacing
+        it wholesale."""
         c = self._conn
         with c:  # single transaction
             c.execute("DELETE FROM lmd_lookup")
@@ -129,12 +160,27 @@ class ShadowStorageService:
                 "INSERT INTO tombstoned_nodes (block_id) VALUES (?)",
                 [(int(b),) for b in tombstones],
             )
-            c.execute("DELETE FROM block_checksums")
-            if checksums is not None:
-                c.executemany(
-                    "INSERT INTO block_checksums (block_id, crc32) VALUES (?, ?)",
-                    [(i, int(v)) for i, v in enumerate(checksums)],
-                )
+            if incremental:
+                if checksums:
+                    c.executemany(
+                        "INSERT OR REPLACE INTO block_checksums "
+                        "(block_id, crc32) VALUES (?, ?)",
+                        [(int(b), int(v)) for b, v in dict(checksums).items()],
+                    )
+            else:
+                c.execute("DELETE FROM block_checksums")
+                if checksums is not None:
+                    items = (
+                        dict(checksums).items()
+                        if isinstance(checksums, dict)
+                        else enumerate(checksums)
+                    )
+                    c.executemany(
+                        "INSERT INTO block_checksums (block_id, crc32) "
+                        "VALUES (?, ?)",
+                        [(int(i), int(v)) for i, v in items],
+                    )
+            c.execute("DELETE FROM staged_checksums")
             for k, v in metadata.items():
                 c.execute(
                     "INSERT OR REPLACE INTO index_metadata (key, value) "
@@ -172,6 +218,7 @@ class ShadowStorageService:
                 "__lmd_blocks",
                 "tombstoned_nodes",
                 "block_checksums",
+                "staged_checksums",
                 "index_metadata",
             ):
                 c.execute(f"DELETE FROM {table}")

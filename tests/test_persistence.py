@@ -285,3 +285,83 @@ def test_shadow_service_wired_into_coordinator(tmp_path, rng):
     ops = [(d[1], d[2]) for d in coord.shadow_service.pending_deltas()]
     assert ("insert", 0) in ops and ("delete", 2) in ops
     coord.shadow_service.close()
+
+
+# --------------------------------------------------------------------- #
+# incremental checkpoint (V2 dirty-block design, Proposal:96-107,188-211)
+
+
+def test_incremental_checkpoint_writes_only_dirty(tmp_path, rng):
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((100, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(100)), data)
+    d = tmp_path / "idx"
+    stats = checkpoint.save_index(coord, d)
+    assert not stats["incremental"]
+    assert stats["blocks_written"] == 100
+
+    # Small delta: a few inserts + one delete.
+    coord.insert([200, 201], rng.standard_normal(
+        (2, cfg.dimensions)).astype(np.float32))
+    coord.delete([7])
+    stats2 = checkpoint.save_index(coord, d)
+    assert stats2["incremental"]
+    # O(dirty), not O(n): the 2 new rows + delete repair touches, far
+    # fewer than a full rewrite.
+    assert 0 < stats2["blocks_written"] < 60, stats2
+
+    # Round-trip equality after the incremental save.
+    loaded = checkpoint.load_index(d)
+    assert loaded.count == coord.count
+    q = rng.standard_normal((5, cfg.dimensions)).astype(np.float32)
+    ids0, d0 = coord.search(q, 5)
+    ids1, d1 = loaded.search(q, 5)
+    np.testing.assert_array_equal(ids0, ids1)
+    np.testing.assert_array_equal(d0, d1)
+
+    # A no-op save writes nothing.
+    stats3 = checkpoint.save_index(coord, d)
+    assert stats3["incremental"] and stats3["blocks_written"] == 0
+
+
+def test_crash_between_checkpoint_phases_recovers(tmp_path, rng, monkeypatch):
+    """Phase 1 written + fsynced, crash before phase 2: blocks match their
+    STAGED checksums, so the next load must recover (replaying deltas), not
+    report corruption; the next save falls back to a full rewrite."""
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((40, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(40)), data)
+    d = tmp_path / "idx"
+    checkpoint.save_index(coord, d)
+
+    # Wire the shadow service so mutations land in the delta log, mutate,
+    # then crash the second (incremental) save right before phase 2.
+    coord.shadow_service = ShadowStorageService(d)
+    coord.insert([50], rng.standard_normal((1, cfg.dimensions)).astype(np.float32))
+    coord.delete([3])
+
+    real_commit = ShadowStorageService.commit_checkpoint
+
+    def crash_commit(self, *a, **k):
+        raise RuntimeError("crash before phase 2")
+
+    monkeypatch.setattr(ShadowStorageService, "commit_checkpoint", crash_commit)
+    with pytest.raises(RuntimeError, match="crash before phase 2"):
+        checkpoint.save_index(coord, d)
+    monkeypatch.setattr(ShadowStorageService, "commit_checkpoint", real_commit)
+
+    # Load: no corruption error; pending deltas detected.
+    loaded = checkpoint.load_index(d)
+    assert loaded.needs_recovery
+    primary = PrimaryStorageService.from_array(
+        [50], coord.arrays and np.asarray(coord.arrays.vectors[
+            coord.allocator.rowid_to_slot[50]])[None, :])
+    replayed = checkpoint.recover(loaded, primary, d)
+    assert replayed >= 1
+    assert 50 in loaded.allocator.rowid_to_slot
+    assert 3 not in loaded.allocator.rowid_to_slot
+    # Recovery's save was a full rewrite (file was left dirty).
+    clean = checkpoint.load_index(d)
+    assert not clean.needs_recovery
