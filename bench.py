@@ -1,22 +1,30 @@
-"""Benchmark: batched LM-DiskANN beam-search QPS on one chip.
+"""Benchmark: LM-DiskANN build + search on one TPU chip.
 
-Headline config mirrors BASELINE.json config #1 (SIFT-like: 128-d float32,
-L2, top-10, L_search=100) on hierarchically clustered synthetic vectors
-(zero-egress environment — real SIFT is not fetchable; the two-level
-cluster structure reproduces the multi-scale neighborhood statistics that
-make real ANN corpora navigable).
+Configs (BASELINE.json families; zero-egress environment, so corpora are
+synthetic manifolds with fixed seeds — the generator and its parameters are
+pinned since round 1 and reproduce the multi-scale neighborhood statistics
+that make real ANN corpora navigable):
+
+  1. HEADLINE — SIFT1M-class: 1M x 128d float32, L2, R=64, L_insert=128,
+     top-10 @ L_search=100. Edge cache INT4 (the TPU-native choice: INT8
+     edges alone are ~8.6 GB at this scale — past the single-chip execution
+     envelope; INT4 halves HBM and gather bandwidth and holds recall).
+     Reports build seconds (paper Table III: LM-DiskANN SIFT1M = 2467 s),
+     QPS, recall@10 (target >= 0.95), p50/p99 batch latency, and per-row
+     delete latency (paper Table IV: ~45 ms).
+  2. GIST-class: 200k x 960d, cosine, TERNARY edges + exact re-rank — the
+     config where the popcount path carries the roofline.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ..., "extra": ...}
 
 vs_baseline compares against the ancestor DiskANN system's published
-single-node figure of >5000 QPS at >0.95 recall (BASELINE.md row 1 /
-docs/Understanding-and-Implementing-LM-DiskANN:9) — the only absolute
-throughput number published anywhere in the reference.
+single-node figure of >5000 QPS at >0.95 recall (BASELINE.md row 1) — the
+only absolute throughput number published anywhere in the reference.
 
-Environment knobs: BENCH_N (default 100000), BENCH_BATCH (1024),
-BENCH_QUERIES (4096), BENCH_L (100), BENCH_WIDTH (4 — beam-width >1 uses
-the multi-visit frontier expansion; set 1 for strict reference visit order).
+Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_BATCH (1024),
+BENCH_QUERIES (4096), BENCH_L (100), BENCH_WIDTH (1), BENCH_EDGE (int4),
+BENCH_N2 (200_000; 0 disables config 2), BENCH_DELETES (1000).
 """
 
 from __future__ import annotations
@@ -29,37 +37,13 @@ import time
 import numpy as np
 
 
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    import jax.numpy as jnp
-
-    from duckdb_lm_diskann_tpu.common.types import MetricType, VectorType
-    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
-    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
-    from duckdb_lm_diskann_tpu.core.searcher import beam_search
-    from duckdb_lm_diskann_tpu.ops.distance import all_pairs_distance
-
-    n = int(os.environ.get("BENCH_N", 100_000))
-    dims = int(os.environ.get("BENCH_D", 128))
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
-    n_queries = int(os.environ.get("BENCH_QUERIES", 4096))
-    l_search = int(os.environ.get("BENCH_L", 100))
-    width = int(os.environ.get("BENCH_WIDTH", 1))
-    k = 10
-
-    # Smooth random manifold with intrinsic dimension 12 embedded in 128-d
-    # (z ~ N(0,I)^12 -> tanh(z W1) W2 + noise): the realistic model of
-    # descriptor corpora — real SIFT/GIST/DEEP vectors live on
-    # low-intrinsic-dimension manifolds with continuous neighborhoods, the
-    # regime graph-ANN methods (and their published recall numbers) assume.
-    rng = np.random.default_rng(0xBE7C4)
-    zdim = 12
+def make_corpus(n, dims, seed=0xBE7C4, zdim=12):
+    """Smooth random manifold with intrinsic dimension 12 embedded in
+    ``dims`` (z ~ N(0,I)^12 -> tanh(z W1) W2 + noise): the realistic model
+    of descriptor corpora — real SIFT/GIST/DEEP vectors live on
+    low-intrinsic-dimension manifolds with continuous neighborhoods, the
+    regime graph-ANN methods (and their published recall numbers) assume."""
+    rng = np.random.default_rng(seed)
     w1 = rng.standard_normal((zdim, 64)).astype(np.float32)
     w2 = (rng.standard_normal((64, dims)) / np.sqrt(64)).astype(np.float32)
 
@@ -69,6 +53,24 @@ def main() -> None:
             (m, dims)
         ).astype(np.float32)
 
+    return gen, rng
+
+
+def run_config(
+    *, n, dims, metric, edge_type, l_search, k, batch, n_queries,
+    width, r=64, l_insert=128, seed=0xBE7C4, n_deletes=0,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_lm_diskann_tpu.common.types import MetricType, VectorType
+    from duckdb_lm_diskann_tpu.common.types import EdgeType
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search
+    from duckdb_lm_diskann_tpu.ops.distance import all_pairs_distance
+
+    gen, rng = make_corpus(n, dims, seed)
     data = gen(n)
     qidx = rng.integers(0, n, n_queries)
     queries = data[qidx] + 0.01 * rng.standard_normal(
@@ -76,13 +78,14 @@ def main() -> None:
     ).astype(np.float32)
 
     cfg = LmDiskannConfig(
-        metric_type=MetricType.L2,
-        r=64,
-        l_insert=128,
+        metric_type=MetricType.parse(metric),
+        r=r,
+        l_insert=l_insert,
         alpha=1.2,
         l_search=l_search,
         dimensions=dims,
         node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.parse(edge_type) if edge_type else None,
     )
     cfg.validate()
 
@@ -109,8 +112,8 @@ def main() -> None:
     res = run_batch(q_dev[:batch])
     jax.block_until_ready(res)
 
-    # Timed loop over all query batches (device-resident queries).
-    n_batches = n_queries // batch
+    # Throughput: timed loop over all query batches (device-resident).
+    n_batches = max(n_queries // batch, 1)
     t0 = time.perf_counter()
     outs = []
     for i in range(n_batches):
@@ -119,39 +122,112 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
     qps = n_batches * batch / elapsed
 
-    # Recall@10 vs exact brute force (device matmul, chunked).
+    # Latency percentiles at serving batch 64 (per-query latency in a
+    # batched engine == its batch's latency).
+    lat_batch = 64
+    lat = []
+    warm = run_batch(q_dev[:lat_batch])
+    jax.block_until_ready(warm)
+    for i in range(min(64, n_queries // lat_batch)):
+        t1 = time.perf_counter()
+        o = run_batch(q_dev[i * lat_batch : (i + 1) * lat_batch])
+        jax.block_until_ready(o)
+        lat.append(time.perf_counter() - t1)
+    lat = np.asarray(lat) * 1e3
+    p50, p99 = float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
+
+    # Recall@k vs exact brute force (device matmul, chunked).
     all_ids = np.concatenate([np.asarray(o.topk_slots) for o in outs])
     hits = 0
     bf_chunk = 512
-    for i in range(0, n_batches * batch, bf_chunk):
+    total_q = n_batches * batch
+    for i in range(0, total_q, bf_chunk):
         qs = q_dev[i : i + bf_chunk]
-        d = all_pairs_distance(qs, coord.arrays.vectors[:n], MetricType.L2)
+        d = all_pairs_distance(qs, coord.arrays.vectors[:n], cfg.metric_type)
         truth = np.asarray(jax.lax.top_k(-d, k)[1])
         for b in range(truth.shape[0]):
-            hits += len(
-                set(all_ids[i + b].tolist()) & set(truth[b].tolist())
-            )
-    recall = hits / (n_batches * batch * k)
+            hits += len(set(all_ids[i + b].tolist()) & set(truth[b].tolist()))
+    recall = hits / (total_q * k)
 
     mean_visits = float(
         np.mean([np.asarray(o.visited_count).mean() for o in outs])
     )
 
+    out = {
+        "n": n,
+        "dims": dims,
+        "metric": metric,
+        "edge_type": edge_type,
+        "build_seconds": round(build_s, 1),
+        "inserts_per_second": round(n / build_s, 1),
+        "qps": round(qps, 1),
+        "recall_at_k": round(recall, 4),
+        "k": k,
+        "l_search": L,
+        "batch": batch,
+        "beam_width": width,
+        "p50_batch64_ms": round(p50, 2),
+        "p99_batch64_ms": round(p99, 2),
+        "mean_visits_per_query": round(mean_visits, 1),
+    }
+
+    if n_deletes:
+        # Per-row delete latency (paper Table IV: LM-DiskANN ~45 ms/row).
+        del_ids = rng.choice(n, n_deletes, replace=False).tolist()
+        t0 = time.perf_counter()
+        coord.delete(del_ids)
+        del_s = time.perf_counter() - t0
+        out["delete_ms_per_row"] = round(del_s * 1e3 / n_deletes, 3)
+        out["delete_rows"] = n_deletes
+
+    return out
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    dims = int(os.environ.get("BENCH_D", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    n_queries = int(os.environ.get("BENCH_QUERIES", 4096))
+    l_search = int(os.environ.get("BENCH_L", 100))
+    width = int(os.environ.get("BENCH_WIDTH", 1))
+    edge = os.environ.get("BENCH_EDGE", "int4")
+    n2 = int(os.environ.get("BENCH_N2", 200_000))
+    n_deletes = int(os.environ.get("BENCH_DELETES", 1000))
+
+    main_cfg = run_config(
+        n=n, dims=dims, metric="l2", edge_type=edge, l_search=l_search,
+        k=10, batch=batch, n_queries=n_queries, width=width,
+        n_deletes=n_deletes,
+    )
+
+    extra = {"headline": main_cfg, "device": str(jax.devices()[0])}
+    if n2:
+        # GIST-class: 960d cosine + ternary popcount edges.
+        extra["gist_like"] = run_config(
+            n=n2, dims=960, metric="cosine", edge_type="ternary",
+            l_search=128, k=10, batch=256, n_queries=1024, width=width,
+            seed=0x61577, n_deletes=0,
+        )
+
     result = {
-        "metric": f"QPS/chip SIFT-like-{n//1000}k d{dims} L2 top-10 "
-        f"(recall@10={recall:.3f}, L={L}, W={width})",
-        "value": round(qps, 1),
+        "metric": (
+            f"QPS/chip SIFT-like-{n//1000}k d{dims} L2 top-10 "
+            f"(recall@10={main_cfg['recall_at_k']:.3f}, "
+            f"build={main_cfg['build_seconds']}s, L={l_search})"
+        ),
+        "value": main_cfg["qps"],
         "unit": "qps",
-        "vs_baseline": round(qps / 5000.0, 3),
-        "extra": {
-            "recall_at_10": round(recall, 4),
-            "build_seconds": round(build_s, 1),
-            "mean_visits_per_query": round(mean_visits, 1),
-            "batch": batch,
-            "beam_width": width,
-            "n_vectors": n,
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(main_cfg["qps"] / 5000.0, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 

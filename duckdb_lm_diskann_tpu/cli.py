@@ -137,16 +137,15 @@ def cmd_compact(args) -> int:
 
 
 def cmd_verify(args) -> int:
+    from .utils.verify import VerificationError, verify_graph
+
     coord, _ = _load_index(args)
-    from .db.index import LmDiskannIndex  # reuse verifier logic
-
-    # Structural verification without constructing a full db index.
-    import numpy as _np
-
-    valid = _np.asarray(coord.arrays.valid)
-    for rowid, slot in coord.allocator.rowid_to_slot.items():
-        assert valid[slot], f"live row {rowid} slot {slot} not valid"
-    print(json.dumps({"ok": True, "count": coord.count}))
+    try:
+        report = verify_graph(coord)
+    except VerificationError as e:
+        print(json.dumps({"ok": False, "problems": str(e)}))
+        return 1
+    print(json.dumps({"ok": True, **report}))
     return 0
 
 

@@ -109,6 +109,11 @@ class EdgeType(enum.Enum):
 
       TERNARY  - 2 sign bit-planes, popcount dot (cos/IP only, like the ref)
       INT8     - per-edge abs-max scaled int8 (works for all metrics)
+      INT4     - per-edge abs-max scaled 4-bit codes, two per byte: half the
+                 HBM and half the gather bandwidth of INT8 (works for all
+                 metrics; still finer than the reference's 2-bit ternary).
+                 The TPU-native choice for large L2 indexes — at 1M x R=64
+                 x 128d the INT8 edge cache alone is ~8 GB
       FLOAT32  - uncompressed copy (works for all metrics)
       NONE     - no cached edge vectors; traversal gathers neighbor vectors
                  and scores them exactly (the C++ core Searcher's behavior,
@@ -117,6 +122,7 @@ class EdgeType(enum.Enum):
 
     TERNARY = "ternary"
     INT8 = "int8"
+    INT4 = "int4"
     FLOAT32 = "float32"
     NONE = "none"
 

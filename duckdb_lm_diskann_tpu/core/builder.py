@@ -38,7 +38,7 @@ import numpy as np
 from ..common.types import EdgeType
 from ..ops import topk as topk_ops
 from ..ops.distance import batched_all_pairs_distance, pairwise_distance
-from ..ops.quantize import encode_int8
+from ..ops.quantize import encode_int4, encode_int8
 from ..ops.ternary import encode_ternary
 from .graph import GraphArrays, GraphParams
 from .searcher import search_for_initial_candidates
@@ -159,6 +159,12 @@ def write_neighbor_rows(
         scale = jnp.where(nbr_ok, scale, 0.0)
         new["edge_i8"] = arrays.edge_i8.at[tgt].set(codes, mode="drop")
         new["edge_scale"] = arrays.edge_scale.at[tgt].set(scale, mode="drop")
+    elif et is EdgeType.INT4:
+        codes, scale = encode_int4(nbr_vecs)  # [T, R, Dh], [T, R]
+        codes = jnp.where(nbr_ok[..., None], codes, jnp.uint8(0))
+        scale = jnp.where(nbr_ok, scale, 0.0)
+        new["edge_i4"] = arrays.edge_i4.at[tgt].set(codes, mode="drop")
+        new["edge_scale"] = arrays.edge_scale.at[tgt].set(scale, mode="drop")
     elif et is EdgeType.FLOAT32:
         vecs = jnp.where(nbr_ok[..., None], nbr_vecs, 0.0)
         new["edge_f32"] = arrays.edge_f32.at[tgt].set(vecs, mode="drop")
@@ -202,15 +208,17 @@ def _rank_within_group(keys: jnp.ndarray, big: jnp.ndarray) -> jnp.ndarray:
     return idx - run_start
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def replace_edge_round(
-    arrays: GraphArrays,
+def replace_edge_lists(
+    vectors: jnp.ndarray,  # f32[C, D]
+    neighbors: jnp.ndarray,  # i32[C, R] the neighbor TABLE
     tgt: jnp.ndarray,  # i32[U] target slots (-1 padded)
     new_c: jnp.ndarray,  # i32[U] ONE new candidate per target
-    *,
     params: GraphParams,
-) -> GraphArrays:
-    """libSQL's incremental edge insertion, vectorized over U targets:
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """libSQL's incremental edge insertion, vectorized over U targets,
+    operating on the neighbor table only (edge-code refresh happens once
+    after all rounds — see insert_step; carrying the multi-GB edge caches
+    through the round loop would double-buffer them in HBM):
 
       diskAnnReplaceEdgeIdx (vectordiskann.c:1176-1224):
         - if the candidate is already an edge, overwrite in place
@@ -231,16 +239,17 @@ def replace_edge_round(
 
     Distances use prune_metric (non-negative; see GraphParams.prune_metric).
     Tie-break for the replacement slot: first (lowest index) maximal d(t,e).
+    Returns (updated neighbor table, accepted mask [U]).
     """
     R = params.r
     valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
     t_safe = jnp.maximum(tgt, 0)
     c_safe = jnp.maximum(new_c, 0)
-    t_vec = arrays.vectors[t_safe]  # [U, D]
-    c_vec = arrays.vectors[c_safe]  # [U, D]
-    nbr = arrays.neighbors[t_safe]  # [U, R]
+    t_vec = vectors[t_safe]  # [U, D]
+    c_vec = vectors[c_safe]  # [U, D]
+    nbr = neighbors[t_safe]  # [U, R]
     present = nbr >= 0
-    nbr_vecs = arrays.vectors[jnp.maximum(nbr, 0)]  # [U, R, D]
+    nbr_vecs = vectors[jnp.maximum(nbr, 0)]  # [U, R, D]
 
     pm = params.prune_metric
     d_tc = pairwise_distance(t_vec, c_vec, pm)  # [U]
@@ -287,35 +296,36 @@ def replace_edge_round(
         (empty_key, pos_key, new_nbr), dimension=-1, num_keys=2
     )
 
-    write_tgt = jnp.where(do, tgt, -1)
-    return write_neighbor_rows(arrays, write_tgt, new_nbr, params=params), do
+    write_tgt = jnp.where(do, tgt, neighbors.shape[0])
+    neighbors = neighbors.at[write_tgt].set(new_nbr, mode="drop")
+    return neighbors, do
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def force_edge_round(
-    arrays: GraphArrays,
+def force_edge_lists(
+    vectors: jnp.ndarray,  # f32[C, D]
+    neighbors: jnp.ndarray,  # i32[C, R]
     tgt: jnp.ndarray,  # i32[U] (-1 padded)
     new_c: jnp.ndarray,  # i32[U]
-    *,
     params: GraphParams,
-) -> GraphArrays:
+) -> jnp.ndarray:
     """Unconditional edge insertion: first empty slot, else replace the
     farthest edge. Used as the in-link guarantee for nodes every regular
     replace/prune target rejected (dense regions can reject a newcomer at
     all of its visited nodes, leaving it with zero in-links — permanently
     unreachable; the reference inherits this failure mode from libSQL and
-    papers over it with random entry points)."""
+    papers over it with random entry points). Neighbor-table level, like
+    replace_edge_lists."""
     R = params.r
     valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
     t_safe = jnp.maximum(tgt, 0)
-    nbr = arrays.neighbors[t_safe]
+    nbr = neighbors[t_safe]
     present = nbr >= 0
     already = jnp.any(nbr == new_c[:, None], axis=-1)
-    nbr_vecs = arrays.vectors[jnp.maximum(nbr, 0)]
+    nbr_vecs = vectors[jnp.maximum(nbr, 0)]
     d_te = jnp.where(
         present,
         pairwise_distance(
-            arrays.vectors[t_safe][:, None, :], nbr_vecs, params.prune_metric
+            vectors[t_safe][:, None, :], nbr_vecs, params.prune_metric
         ),
         -INF,
     )
@@ -329,8 +339,8 @@ def force_edge_round(
     new_nbr = jnp.where(
         (cols == slot[:, None]) & do[:, None], new_c[:, None], nbr
     )
-    write_tgt = jnp.where(do, tgt, -1)
-    return write_neighbor_rows(arrays, write_tgt, new_nbr, params=params)
+    write_tgt = jnp.where(do, tgt, neighbors.shape[0])
+    return neighbors.at[write_tgt].set(new_nbr, mode="drop")
 
 
 # Reciprocal-pass width for bulk batches: each new node reciprocates with
@@ -346,6 +356,20 @@ def force_edge_round(
 _RECIP_K = 32
 _RECIP_ROUNDS = 8
 _FORCE_ROUNDS = 2
+
+# Pair-chunk budget: one reciprocal/refresh step gathers [CH, R, D] f32
+# neighbor vectors; cap that at ~256 MB so the compiled program fits HBM
+# alongside the index arrays at any (R, D) — at 960d an unchunked 32k-pair
+# gather is ~8 GB and the XLA compile itself exceeds the chip.
+_PAIR_GATHER_BYTES = 256 * 1024 * 1024
+
+
+def _pair_chunk(p: int, r: int, d: int) -> int:
+    rows = max(_PAIR_GATHER_BYTES // max(r * d * 4, 1), 256)
+    ch = 256
+    while ch * 2 <= rows:
+        ch *= 2
+    return min(ch, _pow2_at_least(p))
 
 
 @functools.partial(
@@ -424,21 +448,46 @@ def insert_step(
     tgt_s = jnp.where(pair_ok, tgt_s, -1)
     src_s = jnp.where(pair_ok, src_s, -1)
 
+    # The round loops carry ONLY (neighbor table, acceptance) — carrying the
+    # full arrays pytree would make XLA double-buffer the multi-GB edge
+    # caches across loop iterations (OOM at 1M x R=64 x 128d). Edge codes of
+    # every touched target are refreshed once afterwards (see insert_batch),
+    # which also encodes each target once instead of once per round. Pairs
+    # are processed in fixed-size chunks so the per-step neighbor-vector
+    # gather stays bounded at any dimensionality (at 960d an unchunked 32k
+    # pair gather is ~8 GB and the XLA compile itself exceeds HBM).
     cap = arrays.capacity
     accepted0 = jnp.zeros((cap + 1,), jnp.int32)
+    vectors = arrays.vectors
 
-    def recip_round(r, carry):
-        arrays, accepted = carry
-        active = pair_ok & (rank == r)
-        t_r = jnp.where(active, tgt_s, -1)
-        c_r = jnp.where(active, src_s, -1)
-        arrays, do = replace_edge_round(arrays, t_r, c_r, params=params)
+    P = tgt_s.shape[0]
+    CH = _pair_chunk(P, params.r, params.dims)
+    nch = (P + CH - 1) // CH
+    pad_p = nch * CH - P
+    if pad_p:
+        tgt_s = jnp.pad(tgt_s, (0, pad_p), constant_values=-1)
+        src_s = jnp.pad(src_s, (0, pad_p), constant_values=-1)
+        rank = jnp.pad(rank, (0, pad_p), constant_values=-1)
+        pair_ok = jnp.pad(pair_ok, (0, pad_p), constant_values=False)
+
+    def recip_step(i, carry):
+        nbrs_tbl, accepted = carry
+        r = i // nch
+        c = i % nch
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, c * CH, CH)
+
+        active = sl(pair_ok) & (sl(rank) == r)
+        t_r = jnp.where(active, sl(tgt_s), -1)
+        c_r = jnp.where(active, sl(src_s), -1)
+        nbrs_tbl, do = replace_edge_lists(vectors, nbrs_tbl, t_r, c_r, params)
         at = jnp.where(do & (c_r >= 0), c_r, cap)
         accepted = accepted.at[at].max(jnp.ones_like(at))
-        return arrays, accepted
+        return nbrs_tbl, accepted
 
-    arrays, accepted = jax.lax.fori_loop(
-        0, recip_rounds, recip_round, (arrays, accepted0)
+    nbrs_tbl, accepted = jax.lax.fori_loop(
+        0, recip_rounds * nch, recip_step, (arrays.neighbors, accepted0)
     )
 
     # --- in-link guarantee: force-link rejected newcomers at their nearest
@@ -455,17 +504,50 @@ def insert_step(
     rank_f = _rank_within_group(t_fs, big)
     f_ok = t_fs < big
 
-    def force_round(r, arrays):
+    def force_round(r, nbrs_tbl):
         active = f_ok & (rank_f == r)
-        return force_edge_round(
-            arrays,
+        return force_edge_lists(
+            vectors,
+            nbrs_tbl,
             jnp.where(active, t_fs, -1),
             jnp.where(active, c_fs, -1),
-            params=params,
+            params,
         )
 
-    return jax.lax.fori_loop(
-        0, min(_FORCE_ROUNDS, M), force_round, arrays
+    nbrs_tbl = jax.lax.fori_loop(
+        0, min(_FORCE_ROUNDS, M), force_round, nbrs_tbl
+    )
+    arrays = arrays._replace(neighbors=nbrs_tbl)
+
+    # --- refresh target list: every touched target, deduped. tgt_s is
+    # sorted by target, so duplicates are adjacent: keep first occurrences
+    # (the refresh scatter must never hit the same row twice). The caller
+    # runs the edge-code refresh in bounded chunks (insert_batch).
+    first_t = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), tgt_s[1:] != tgt_s[:-1]]
+    ) & pair_ok
+    refresh_t = jnp.where(first_t, tgt_s, -1)
+    first_f = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), t_fs[1:] != t_fs[:-1]]
+    ) & f_ok
+    refresh_f = jnp.where(first_f, t_fs, -1)
+    return arrays, refresh_t, refresh_f
+
+
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def refresh_edge_codes(
+    arrays: GraphArrays,
+    tgts: jnp.ndarray,  # i32[U] (-1 padded, unique real targets)
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """Re-encode the cached edge codes of ``tgts`` from their current
+    neighbor lists (the deferred second half of the reciprocal pass)."""
+    return write_neighbor_rows(
+        arrays,
+        tgts,
+        arrays.neighbors[jnp.maximum(tgts, 0)],
+        params=params,
     )
 
 
@@ -507,7 +589,7 @@ def insert_batch(
     # target applied (visited sets are duplicate-free, so one round covers
     # all pairs).
     full = M == 1
-    return insert_step(
+    arrays, refresh_t, refresh_f = insert_step(
         arrays,
         new_slots_d,
         new_vecs_d,
@@ -516,6 +598,16 @@ def insert_batch(
         full_visited=full,
         recip_rounds=1 if full else _RECIP_ROUNDS,
     )
+    # Deferred edge-code refresh, in bounded chunks (still zero host
+    # syncs: chunk boundaries are static, slices stay on device; each call
+    # donates arrays so the update chain is in-place).
+    CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
+    for off in range(0, refresh_t.shape[0], CH):
+        arrays = refresh_edge_codes(
+            arrays, refresh_t[off : off + CH], params=params
+        )
+    arrays = refresh_edge_codes(arrays, refresh_f, params=params)
+    return arrays
 
 
 def build_schedule(n: int, max_batch: int = 1024) -> list[int]:

@@ -238,6 +238,9 @@ class Coordinator:
         # (Coordinator.cpp:63-102 / Searcher::Search :256-272).
         L = max(l_search if l_search is not None else self.config.l_search, k)
         seeds = self._seed_slots(min(n_seeds, L))
+        import time as _time
+
+        t0 = _time.perf_counter()
         res = beam_search(
             self.arrays,
             jnp.asarray(queries),
@@ -249,12 +252,17 @@ class Coordinator:
         )
         slots = np.asarray(res.topk_slots)
         dists = np.asarray(res.topk_dists)
+        wall = _time.perf_counter() - t0  # after device sync (np.asarray)
+        visited = int(np.asarray(res.visited_count).sum())
         self.last_search_stats = SearchStats(
             queries=B,
             hops=int(res.hops),
-            nodes_visited=int(np.asarray(res.visited_count).sum()),
+            nodes_visited=visited,
             l_search=L,
             k=k,
+            # R edge-code scores + 1 exact per visit, plus the seed scores.
+            distance_ops=visited * (self.params.r + 1) + B * len(seeds),
+            wall_time_s=wall,
         )
         rowids = np.where(
             slots >= 0,

@@ -60,7 +60,8 @@ class GraphArrays(NamedTuple):
     edge_pos: jnp.ndarray  # u32[C, R, W]  (TERNARY) else [C, 0, 0]
     edge_neg: jnp.ndarray  # u32[C, R, W]  (TERNARY) else [C, 0, 0]
     edge_i8: jnp.ndarray  # i8[C, R, D]   (INT8)    else [C, 0, 0]
-    edge_scale: jnp.ndarray  # f32[C, R]     (INT8)    else [C, 0]
+    edge_i4: jnp.ndarray  # u8[C, R, ceil(D/2)] (INT4) else [C, 0, 0]
+    edge_scale: jnp.ndarray  # f32[C, R]   (INT8/INT4) else [C, 0]
     edge_f32: jnp.ndarray  # f32[C, R, D]  (FLOAT32) else [C, 0, 0]
     # Rows mutated since the last checkpoint (the V2 design's dirty-block
     # ring, Consolidated Proposal:96-107): store_vectors/write_neighbor_rows
@@ -124,7 +125,9 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
     et = params.edge_type
     tern = et is EdgeType.TERNARY
     i8 = et is EdgeType.INT8
+    i4 = et is EdgeType.INT4
     f32 = et is EdgeType.FLOAT32
+    dh = (d + 1) // 2
     return GraphArrays(
         vectors=jnp.zeros((capacity, d), jnp.float32),
         neighbors=jnp.full((capacity, r), -1, jnp.int32),
@@ -132,7 +135,8 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
         edge_pos=jnp.zeros((capacity, r if tern else 0, w if tern else 0), jnp.uint32),
         edge_neg=jnp.zeros((capacity, r if tern else 0, w if tern else 0), jnp.uint32),
         edge_i8=jnp.zeros((capacity, r if i8 else 0, d if i8 else 0), jnp.int8),
-        edge_scale=jnp.zeros((capacity, r if i8 else 0), jnp.float32),
+        edge_i4=jnp.zeros((capacity, r if i4 else 0, dh if i4 else 0), jnp.uint8),
+        edge_scale=jnp.zeros((capacity, r if (i8 or i4) else 0), jnp.float32),
         edge_f32=jnp.zeros((capacity, r if f32 else 0, d if f32 else 0), jnp.float32),
         dirty_rows=jnp.zeros((capacity,), jnp.bool_),
     )

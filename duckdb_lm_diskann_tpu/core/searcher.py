@@ -61,6 +61,7 @@ from ..ops.distance import (
     pairwise_distance,
     similarity_to_distance,
 )
+from ..ops.quantize import decode_int4
 from ..ops.ternary import encode_ternary, ternary_dot
 from .graph import GraphArrays, GraphParams
 
@@ -110,6 +111,11 @@ def _score_edges(
         codes = arrays.edge_i8[cur]  # [B, E, R, D]
         scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = codes.astype(jnp.float32) * scale[..., None]
+        return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
+    if et is EdgeType.INT4:
+        packed = arrays.edge_i4[cur]  # [B, E, R, Dh] — half INT8's bytes
+        scale = arrays.edge_scale[cur]  # [B, E, R]
+        vecs = decode_int4(packed, scale, params.dims)
         return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
     if et is EdgeType.FLOAT32:
         return pairwise_distance(

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..common.types import MetricType
 from ..ops import distance as dist_ops
-from . import planner
+from . import planner, settings
 from .functions import ColumnRef, Const, FunctionExpr, evaluate_distance
 from .index import LmDiskannIndex
 
@@ -91,6 +91,17 @@ class Database:
     def __init__(self, path: str | None = None):
         self.path = path  # None -> in-memory (no persistence dirs)
         self.tables: dict[str, Table] = {}
+        # Per-connection session options (hnsw_index.cpp:655-679 registers
+        # these with DuckDB's per-ClientContext config; two Databases in one
+        # process must not share overrides).
+        self.settings = settings.Settings()
+
+    def set_option(self, name: str, value) -> None:
+        """SET <option> = <value> (session scope)."""
+        self.settings.set_option(name, value)
+
+    def get_option(self, name: str):
+        return self.settings.get_option(name)
 
     # --- catalog ---
 
@@ -122,6 +133,7 @@ class Database:
             data.shape[1],
             options=options,
             db_path=self.path,
+            session=self.settings,
         )
         # IS NOT NULL filter of the create plan: rows with NaNs are skipped
         # (the reference's projection + null filter, hnsw_index_plan.cpp).

@@ -59,8 +59,12 @@ class LmDiskannIndex:
         options: dict | None = None,
         db_path: str | None = None,
         persist: bool = True,
+        session: "settings.Settings | None" = None,
     ):
         self.name = name
+        # Per-connection options (the Database passes its own Settings;
+        # standalone indexes fall back to the process default).
+        self.settings = session if session is not None else settings.GLOBAL
         config = parse_options(options)
         # Dimensions/dtype derive from the column type, never from options
         # (db/LmDiskannIndex.cpp:137-154).
@@ -180,7 +184,7 @@ class LmDiskannIndex:
     def scan(self, state: LmDiskannScanState, max_rows: int = 2048) -> np.ndarray:
         """Drain up to max_rows result row ids (Scan, :677-724)."""
         if state.row_ids is None:
-            L = settings.effective_l_search(
+            L = self.settings.effective_l_search(
                 self.config.l_search, state.l_search
             )
             ids, dists = self.coordinator.search(
@@ -195,7 +199,7 @@ class LmDiskannIndex:
 
     def search(self, queries, k: int, l_search: int | None = None):
         """Batched search (the MultiScan analog, hnsw_index.cpp:336-378)."""
-        L = settings.effective_l_search(self.config.l_search, l_search)
+        L = self.settings.effective_l_search(self.config.l_search, l_search)
         return self.coordinator.search(np.atleast_2d(queries), k, l_search=L)
 
     # --- persistence (GetStorageInfo / checkpoint, :516-531) ---
@@ -203,7 +207,7 @@ class LmDiskannIndex:
     def persist_to_disk(self) -> None:
         if self.directory is None:
             raise RuntimeError("in-memory index has no directory")
-        if not settings.get_option("lm_diskann_enable_persistence"):
+        if not self.settings.get_option("lm_diskann_enable_persistence"):
             return
         checkpoint.save_index(self.coordinator, self.directory)
 
@@ -220,27 +224,21 @@ class LmDiskannIndex:
         }
 
     def verify_and_to_string(self, only_verify: bool = False) -> str:
-        """VerifyAndToString (:576-604): structural verification + dump."""
+        """VerifyAndToString (:576-604): structural verification + dump.
+        Full invariant check (maps, degrees, zombie edges, reachability)
+        lives in utils/verify.py; raises on violations."""
+        from ..utils.verify import verify_graph
+
         coord = self.coordinator
-        nbrs = np.asarray(coord.arrays.neighbors)
-        valid = np.asarray(coord.arrays.valid)
-        problems = []
-        for rowid, slot in coord.allocator.rowid_to_slot.items():
-            if not valid[slot]:
-                problems.append(f"live row {rowid} slot {slot} not valid")
-        if coord.count and coord.entry_slot >= 0 and not valid[coord.entry_slot]:
-            problems.append("entry point is tombstoned")
-        if problems:
-            raise AssertionError("; ".join(problems))
+        report = verify_graph(coord)
         if only_verify:
             return ""
-        live = sorted(coord.allocator.slot_to_rowid)
-        degrees = [(nbrs[s] >= 0).sum() for s in live]
         return (
             f"LmDiskannIndex {self.name}: count={coord.count} "
             f"capacity={coord.capacity} entry_rowid={coord.entry_rowid} "
             f"metric={self.config.metric_type.value} "
             f"edge_type={self.config.resolve_edge_type().value} "
-            f"R={self.config.r} mean_degree="
-            f"{float(np.mean(degrees)) if degrees else 0:.2f}"
+            f"R={self.config.r} mean_degree={report['mean_degree']:.2f} "
+            f"zombie_edges={report['zombie_edges']} "
+            f"reachable={report.get('reachable_fraction', 1.0):.3f}"
         )

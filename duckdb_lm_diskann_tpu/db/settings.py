@@ -3,14 +3,16 @@
 The reference registers session options with DuckDB's config
 (hnsw_index.cpp:655-679): ``hnsw_ef_search`` (overrides the search beam at
 scan time, read in InitializeScan :291-299) and
-``hnsw_enable_experimental_persistence``. This module is the standalone
-analog: a process-wide settings registry with the same override semantics,
-plus the LM-DiskANN spelling ``lm_diskann_l_search``.
+``hnsw_enable_experimental_persistence``. DuckDB options are
+per-connection; :class:`Settings` mirrors that — every ``Database`` owns an
+instance, so two connections in one process never share overrides. The
+module-level functions operate on a process-wide default instance for
+standalone (no-Database) use.
 """
 
 from __future__ import annotations
 
-_SETTINGS: dict[str, object] = {
+_DEFAULTS: dict[str, object] = {
     # 0 / None -> no override; >0 -> overrides index/config l_search at scan.
     "lm_diskann_l_search": 0,
     "hnsw_ef_search": 0,  # alias kept for drop-in parity
@@ -20,24 +22,47 @@ _SETTINGS: dict[str, object] = {
 }
 
 
+class Settings:
+    """One connection's option set (the per-ClientContext config analog)."""
+
+    def __init__(self) -> None:
+        self._values = dict(_DEFAULTS)
+
+    def set_option(self, name: str, value) -> None:
+        key = name.strip().lower()
+        if key not in self._values:
+            raise KeyError(f"Unknown setting '{name}'")
+        self._values[key] = value
+
+    def get_option(self, name: str):
+        return self._values[name.strip().lower()]
+
+    def effective_l_search(
+        self, index_l_search: int, explicit: int | None = None
+    ) -> int:
+        """Resolution order at scan time (hnsw_index.cpp:291-299 semantics):
+        explicit per-query param > session override > index config."""
+        if explicit is not None and explicit > 0:
+            return explicit
+        for key in ("lm_diskann_l_search", "hnsw_ef_search"):
+            v = self._values[key]
+            if isinstance(v, int) and v > 0:
+                return v
+        return index_l_search
+
+
+# Process-wide default instance: used by indexes created outside a Database
+# (and by the legacy module-level API).
+GLOBAL = Settings()
+
+
 def set_option(name: str, value) -> None:
-    key = name.strip().lower()
-    if key not in _SETTINGS:
-        raise KeyError(f"Unknown setting '{name}'")
-    _SETTINGS[key] = value
+    GLOBAL.set_option(name, value)
 
 
 def get_option(name: str):
-    return _SETTINGS[name.strip().lower()]
+    return GLOBAL.get_option(name)
 
 
 def effective_l_search(index_l_search: int, explicit: int | None = None) -> int:
-    """Resolution order at scan time (hnsw_index.cpp:291-299 semantics):
-    explicit per-query param > session override > index config."""
-    if explicit is not None and explicit > 0:
-        return explicit
-    for key in ("lm_diskann_l_search", "hnsw_ef_search"):
-        v = _SETTINGS[key]
-        if isinstance(v, int) and v > 0:
-            return v
-    return index_l_search
+    return GLOBAL.effective_l_search(index_l_search, explicit)

@@ -276,7 +276,7 @@ def insert_batch_device(
     orphan in-link guarantee) entirely on device, so the multi-chip
     'training step' and the host build are the same algorithm.
     """
-    return builder.insert_step(
+    arrays, refresh_t, refresh_f = builder.insert_step(
         arrays,
         new_slots,
         new_vecs,
@@ -285,6 +285,8 @@ def insert_batch_device(
         full_visited=False,
         recip_rounds=builder._RECIP_ROUNDS,
     )
+    arrays = builder.refresh_edge_codes(arrays, refresh_t, params=params)
+    return builder.refresh_edge_codes(arrays, refresh_f, params=params)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "params"))

@@ -71,6 +71,12 @@ def resolve_layout(config: LmDiskannConfig) -> ExtendedLayout:
         scales_offset = align_value(codes_end, 4)
         total = scales_offset + r * 4
         return ExtendedLayout(base, et, scales_offset, align_value(total, SECTOR_SIZE))
+    if et is EdgeType.INT4:
+        dh = (d + 1) // 2
+        codes_end = base.neighbor_pos_planes_offset + r * dh
+        scales_offset = align_value(codes_end, 4)
+        total = scales_offset + r * 4
+        return ExtendedLayout(base, et, scales_offset, align_value(total, SECTOR_SIZE))
     if et is EdgeType.FLOAT32:
         total = base.neighbor_pos_planes_offset + r * d * 4
         return ExtendedLayout(base, et, 0, align_value(total, SECTOR_SIZE))
@@ -84,6 +90,7 @@ def encode_blocks(
     edge_pos: np.ndarray | None = None,  # [N, R, W32] u32
     edge_neg: np.ndarray | None = None,
     edge_i8: np.ndarray | None = None,  # [N, R, D] i8
+    edge_i4: np.ndarray | None = None,  # [N, R, ceil(D/2)] u8 packed
     edge_scale: np.ndarray | None = None,  # [N, R] f32
     edge_f32: np.ndarray | None = None,  # [N, R, D] f32
 ) -> np.ndarray:
@@ -122,6 +129,14 @@ def encode_blocks(
         codes = codes.reshape(n, r * d)
         off = base.neighbor_pos_planes_offset
         out[:, off : off + r * d] = codes
+        sc = np.ascontiguousarray(edge_scale.astype(np.float32)).view(np.uint8)
+        sc = sc.reshape(n, r * 4)
+        out[:, lay.scales_offset : lay.scales_offset + r * 4] = sc
+    elif et is EdgeType.INT4:
+        dh = (d + 1) // 2
+        codes = np.ascontiguousarray(edge_i4.astype(np.uint8)).reshape(n, r * dh)
+        off = base.neighbor_pos_planes_offset
+        out[:, off : off + r * dh] = codes
         sc = np.ascontiguousarray(edge_scale.astype(np.float32)).view(np.uint8)
         sc = sc.reshape(n, r * 4)
         out[:, lay.scales_offset : lay.scales_offset + r * 4] = sc
@@ -165,6 +180,12 @@ def decode_blocks(config: LmDiskannConfig, blocks: np.ndarray) -> dict:
     elif et is EdgeType.INT8:
         off = base.neighbor_pos_planes_offset
         out["edge_i8"] = blocks[:, off : off + r * d].copy().view(np.int8).reshape(n, r, d)
+        so = lay.scales_offset
+        out["edge_scale"] = blocks[:, so : so + 4 * r].copy().view(np.float32).reshape(n, r)
+    elif et is EdgeType.INT4:
+        dh = (d + 1) // 2
+        off = base.neighbor_pos_planes_offset
+        out["edge_i4"] = blocks[:, off : off + r * dh].copy().reshape(n, r, dh)
         so = lay.scales_offset
         out["edge_scale"] = blocks[:, so : so + 4 * r].copy().view(np.float32).reshape(n, r)
     elif et is EdgeType.FLOAT32:

@@ -145,6 +145,9 @@ def save_index(coord: Coordinator, directory: str | os.PathLike) -> dict:
         elif et is EdgeType.INT8:
             kw["edge_i8"] = pull(arrays.edge_i8)
             kw["edge_scale"] = pull(arrays.edge_scale)
+        elif et is EdgeType.INT4:
+            kw["edge_i4"] = pull(arrays.edge_i4)
+            kw["edge_scale"] = pull(arrays.edge_scale)
         elif et is EdgeType.FLOAT32:
             kw["edge_f32"] = pull(arrays.edge_f32)
         if len(idx):
@@ -311,6 +314,13 @@ def load_index(
                 ei[:hw] = decoded["edge_i8"]
                 es[:hw] = decoded["edge_scale"]
                 new["edge_i8"] = jnp.asarray(ei)
+                new["edge_scale"] = jnp.asarray(es)
+            elif et is EdgeType.INT4:
+                ei = np.zeros_like(np.asarray(arrays.edge_i4))
+                es = np.zeros_like(np.asarray(arrays.edge_scale))
+                ei[:hw] = decoded["edge_i4"]
+                es[:hw] = decoded["edge_scale"]
+                new["edge_i4"] = jnp.asarray(ei)
                 new["edge_scale"] = jnp.asarray(es)
             elif et is EdgeType.FLOAT32:
                 ef = np.zeros_like(np.asarray(arrays.edge_f32))

@@ -36,7 +36,12 @@ from __future__ import annotations
 import numpy as np
 
 from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType
-from duckdb_lm_diskann_tpu.ops.quantize import decode_int8_np, encode_int8_np
+from duckdb_lm_diskann_tpu.ops.quantize import (
+    decode_int4_np,
+    decode_int8_np,
+    encode_int4_np,
+    encode_int8_np,
+)
 from duckdb_lm_diskann_tpu.ops.ternary import encode_ternary_np, ternary_dot_np
 
 
@@ -87,6 +92,9 @@ class OracleGraph:
         if self.edge_type is EdgeType.INT8:
             c, s = encode_int8_np(vec[None, :])
             return (c[0], s[0])
+        if self.edge_type is EdgeType.INT4:
+            c, s = encode_int4_np(vec[None, :])
+            return (c[0], s[0])
         if self.edge_type in (EdgeType.FLOAT32, EdgeType.NONE):
             return np.asarray(vec, np.float32).copy()
         raise ValueError(self.edge_type)
@@ -103,6 +111,11 @@ class OracleGraph:
             raise ValueError("ternary edges invalid for L2")
         if self.edge_type is EdgeType.INT8:
             vec = decode_int8_np(code[0][None, :], np.asarray([code[1]]))[0]
+            return exact_distance(query, vec, self.metric)
+        if self.edge_type is EdgeType.INT4:
+            vec = decode_int4_np(
+                code[0][None, :], np.asarray([code[1]]), self.dims
+            )[0]
             return exact_distance(query, vec, self.metric)
         return exact_distance(query, code, self.metric)
 

@@ -78,6 +78,7 @@ CASES = [
     (MetricType.COSINE, EdgeType.TERNARY),
     (MetricType.IP, EdgeType.TERNARY),
     (MetricType.L2, EdgeType.INT8),
+    (MetricType.L2, EdgeType.INT4),
     (MetricType.L2, EdgeType.FLOAT32),
     (MetricType.COSINE, EdgeType.NONE),  # C++ Searcher exact-traversal mode
 ]

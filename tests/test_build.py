@@ -73,6 +73,7 @@ def test_robust_prune_matches_oracle(rng, metric, edge_type):
 @pytest.mark.parametrize("metric,edge_type", [
     (MetricType.COSINE, EdgeType.TERNARY),
     (MetricType.L2, EdgeType.INT8),
+    (MetricType.L2, EdgeType.INT4),
 ])
 def test_sequential_build_matches_oracle_graph(rng, metric, edge_type):
     """Inserting one row at a time must reproduce the oracle's graph
@@ -109,6 +110,7 @@ def clustered_data(rng, n, dims, n_clusters=50, spread=0.15):
     (MetricType.COSINE, EdgeType.TERNARY, 0.95),
     (MetricType.IP, EdgeType.TERNARY, 0.90),
     (MetricType.L2, EdgeType.INT8, 0.85),
+    (MetricType.L2, EdgeType.INT4, 0.85),
 ])
 def test_batched_build_recall(rng, metric, edge_type, min_recall):
     """End-to-end: batched build -> search -> recall@10 vs brute force."""

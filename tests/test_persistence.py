@@ -40,6 +40,7 @@ def make_config(metric=MetricType.COSINE, edge_type=None, dims=16, r=8):
 @pytest.mark.parametrize("metric,edge_type", [
     (MetricType.COSINE, EdgeType.TERNARY),
     (MetricType.L2, EdgeType.INT8),
+    (MetricType.L2, EdgeType.INT4),
     (MetricType.L2, EdgeType.FLOAT32),
 ])
 def test_codec_roundtrip(rng, metric, edge_type):
@@ -54,6 +55,9 @@ def test_codec_roundtrip(rng, metric, edge_type):
         kw["edge_pos"], kw["edge_neg"] = encode_ternary_np(nbr_vecs)
     elif edge_type is EdgeType.INT8:
         kw["edge_i8"], kw["edge_scale"] = encode_int8_np(nbr_vecs)
+    elif edge_type is EdgeType.INT4:
+        from duckdb_lm_diskann_tpu.ops.quantize import encode_int4_np
+        kw["edge_i4"], kw["edge_scale"] = encode_int4_np(nbr_vecs)
     else:
         kw["edge_f32"] = nbr_vecs
     blocks = block_codec.encode_blocks(cfg, vectors, ids, **kw)
@@ -70,6 +74,9 @@ def test_codec_roundtrip(rng, metric, edge_type):
         np.testing.assert_array_equal(out["edge_neg"], kw["edge_neg"])
     elif edge_type is EdgeType.INT8:
         np.testing.assert_array_equal(out["edge_i8"], kw["edge_i8"])
+        np.testing.assert_array_equal(out["edge_scale"], kw["edge_scale"])
+    elif edge_type is EdgeType.INT4:
+        np.testing.assert_array_equal(out["edge_i4"], kw["edge_i4"])
         np.testing.assert_array_equal(out["edge_scale"], kw["edge_scale"])
     else:
         np.testing.assert_array_equal(out["edge_f32"], kw["edge_f32"])

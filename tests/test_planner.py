@@ -187,14 +187,26 @@ def test_session_setting_overrides_l_search(db_and_table):
         "metric": "l2", "r": 16, "l_insert": 32, "l_search": 33})
     idx.search(data[:1], 5)
     assert idx.coordinator.last_search_stats.l_search == 33
-    settings.set_option("lm_diskann_l_search", 77)
+    db.set_option("lm_diskann_l_search", 77)
     try:
         idx.search(data[:1], 5)
         assert idx.coordinator.last_search_stats.l_search == 77
     finally:
-        settings.set_option("lm_diskann_l_search", 0)
+        db.set_option("lm_diskann_l_search", 0)
     with pytest.raises(KeyError):
-        settings.set_option("bogus_setting", 1)
+        db.set_option("bogus_setting", 1)
+
+
+def test_session_settings_are_per_connection():
+    """Two Databases in one process must not share option overrides
+    (the reference's options are per-ClientContext)."""
+    from duckdb_lm_diskann_tpu.db.database import connect
+
+    db1, db2 = connect(), connect()
+    db1.set_option("lm_diskann_l_search", 123)
+    assert db1.get_option("lm_diskann_l_search") == 123
+    assert db2.get_option("lm_diskann_l_search") == 0
+    assert settings.get_option("lm_diskann_l_search") == 0
 
 
 def test_create_index_skips_nan_rows(rng):
