@@ -43,7 +43,10 @@ from ..ops.ternary import encode_ternary
 from .graph import GraphArrays, GraphParams
 from .searcher import search_for_initial_candidates
 
-INF = jnp.float32(jnp.inf)
+# Python float, not a device array: modules must be import-safe so
+# jax.distributed.initialize() can run before any backend init
+# (parallel/multihost.py entry path).
+INF = float("inf")
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -170,6 +173,37 @@ def write_neighbor_rows(
         new["edge_f32"] = arrays.edge_f32.at[tgt].set(vecs, mode="drop")
     # EdgeType.NONE: nothing cached.
     return arrays._replace(**new)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params",), donate_argnums=(0,)
+)
+def delete_repair_round(
+    arrays: GraphArrays,
+    tgt_slots: jnp.ndarray,  # i32[T] repair targets (-1 padded)
+    extra_cands: jnp.ndarray,  # i32[T, R] adjacent deleted node's out-edges
+    del_slots: jnp.ndarray,  # i32[Dp] slots being deleted (-1 padded)
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """One fused delete-repair round: for every target (a live neighbor of a
+    deleted node) re-prune its CURRENT neighbor list plus the deleted node's
+    out-edges, with all deleted slots masked out, and write the result.
+
+    ``arrays`` is donated — at 1M scale an undonated neighbor/edge-cache
+    write would briefly double the ~4-9 GB graph state in HBM (the round-2
+    bench OOM); donation lets XLA alias the untouched buffers in place."""
+    safe_t = jnp.maximum(tgt_slots, 0)
+    cur = arrays.neighbors[safe_t]  # [T, R]
+    cand = jnp.concatenate([cur, extra_cands], axis=1)  # [T, 2R]
+    gone = jnp.any(
+        cand[:, :, None] == del_slots[None, None, :], axis=-1
+    ) | (cand == tgt_slots[:, None])
+    cand = jnp.where(gone, -1, cand)
+    sel = batched_robust_prune(
+        arrays, arrays.vectors[safe_t], cand, tgt_slots, params=params
+    )
+    return write_neighbor_rows(arrays, tgt_slots, sel, params=params)
 
 
 @jax.jit

@@ -304,7 +304,7 @@ class Coordinator:
         # so a 1k-row delete costs one or two device dispatches, vs one per
         # deleted row in round 1 (the paper's per-row delete is ~45 ms,
         # Table IV; see bench.py delete_ms_per_row).
-        from .builder import batched_robust_prune, write_neighbor_rows
+        from .builder import delete_repair_round
 
         R = self.params.r
         nbr_rows = np.asarray(self.arrays.neighbors[jnp.asarray(del_slots)])
@@ -314,6 +314,11 @@ class Coordinator:
         keep_pair = (tgt >= 0) & ~np.isin(tgt, del_slots)
         tgt, di = tgt[keep_pair], di[keep_pair]
         if len(tgt):
+            # Deleted-slot mask, padded for compile reuse across batches.
+            dpad = _pow2_at_least(Dn, 256)
+            del_pad = np.full(dpad, -1, np.int32)
+            del_pad[:Dn] = del_slots
+            del_dev = jnp.asarray(del_pad)
             order = np.lexsort((di, tgt))
             tgt, di = tgt[order], di[order]
             first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
@@ -328,28 +333,17 @@ class Coordinator:
                 pad = _pow2_at_least(u, 256)
                 t_pad = np.full(pad, -1, np.int32)
                 t_pad[:u] = t_r
-                t_d = jnp.asarray(t_pad)
-                # Candidates: the target's CURRENT neighbors (post earlier
-                # rounds) + the adjacent deleted node's out-edges; deleted
-                # slots and self masked out.
-                cur = np.asarray(self.arrays.neighbors[jnp.maximum(t_d, 0)])
                 extra = np.full((pad, R), -1, np.int32)
                 extra[:u] = nbr_rows[d_r]
-                cand = np.concatenate([cur, extra], axis=1)  # [pad, 2R]
-                cand = np.where(
-                    np.isin(cand, del_slots) | (cand == t_pad[:, None]),
-                    -1,
-                    cand,
-                )
-                sel = batched_robust_prune(
+                # One fused donated dispatch per round: gather current
+                # neighbors + mask deleted + RobustPrune + write, without
+                # ever duplicating the graph arrays in HBM.
+                self.arrays = delete_repair_round(
                     self.arrays,
-                    self.arrays.vectors[jnp.maximum(t_d, 0)],
-                    jnp.asarray(cand),
-                    t_d,
+                    jnp.asarray(t_pad),
+                    jnp.asarray(extra),
+                    del_dev,
                     params=self.params,
-                )
-                self.arrays = write_neighbor_rows(
-                    self.arrays, t_d, sel, params=self.params
                 )
 
         # Tombstone + unmap + enqueue (EnqueueDeletion + FreeNode).

@@ -86,9 +86,16 @@ class GraphParams:
     l_insert: int
     l_search: int
     max_visits: int
+    # Frontier-scoring kernel dispatch: "auto" | "1" | "interpret" | "0"
+    # (see ops/pallas_kernels.dispatch_mode). Static, so flipping it
+    # retraces — the trace-time analog of the reference's GetDotKernel
+    # function-pointer dispatch (ternary_quantization.hpp:562-602).
+    pallas: str = "auto"
 
     @classmethod
     def from_config(cls, config: LmDiskannConfig) -> "GraphParams":
+        import os
+
         return cls(
             dims=config.dimensions,
             r=config.r,
@@ -98,6 +105,7 @@ class GraphParams:
             l_insert=config.l_insert,
             l_search=config.l_search,
             max_visits=config.resolved_max_visits(),
+            pallas=os.environ.get("LMD_PALLAS", "auto"),
         )
 
     @property

@@ -56,6 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from ..common.types import EdgeType, MetricType
+from ..ops import pallas_kernels
 from ..ops import topk as topk_ops
 from ..ops.distance import (
     pairwise_distance,
@@ -65,7 +66,10 @@ from ..ops.quantize import decode_int4
 from ..ops.ternary import encode_ternary, ternary_dot
 from .graph import GraphArrays, GraphParams
 
-INF = jnp.float32(jnp.inf)
+# Python float, not a device array: modules must be import-safe so
+# jax.distributed.initialize() can run before any backend init
+# (parallel/multihost.py entry path).
+INF = float("inf")
 
 
 class SearchResult(NamedTuple):
@@ -81,6 +85,7 @@ class _BeamState(NamedTuple):
     beam_dist: jnp.ndarray  # f32[B, L] sorted by (dist, slot)
     beam_slot: jnp.ndarray  # i32[B, L] -1 = empty
     beam_vis: jnp.ndarray  # bool[B, L]
+    seed_vis: jnp.ndarray  # bool[B, S] seed slot has been visited
     vis_slot: jnp.ndarray  # i32[B, V]
     vis_dist: jnp.ndarray  # f32[B, V]
     vis_cnt: jnp.ndarray  # i32[B]
@@ -98,9 +103,32 @@ def _score_edges(
 ) -> jnp.ndarray:
     """Approximate distances [B, E, R] from the visited nodes' cached edge
     codes — the LM-DiskANN property: no second gather for frontier scoring
-    (vectordiskann.c:1370-1396)."""
+    (vectordiskann.c:1370-1396).
+
+    Hot-op dispatch (the reference's GetDotKernel runtime dispatch,
+    ternary_quantization.hpp:562-602): on TPU the fused Pallas kernels in
+    ops/pallas_kernels.py stream each visited node's cached codes through
+    VMEM once (gather -> dequant/popcount -> distance); elsewhere, or with
+    LMD_PALLAS=0, the plain-XLA jnp forms below run."""
     et = params.edge_type
+    B, E = cur.shape
+    R = params.r
+    mode = pallas_kernels.dispatch_mode(params.pallas)
+
+    def flat_q(x):  # repeat per beam slot: [B, ...] -> [B*E, ...]
+        return x if E == 1 else jnp.repeat(x, E, axis=0)
+
     if et is EdgeType.TERNARY:
+        if mode is not None:
+            sim = pallas_kernels.ternary_frontier_scores(
+                cur.reshape(B * E),
+                flat_q(q_pos),
+                flat_q(q_neg),
+                arrays.edge_pos,
+                arrays.edge_neg,
+                interpret=mode == "interpret",
+            ).astype(jnp.float32)
+            return similarity_to_distance(sim, params.metric).reshape(B, E, R)
         e_pos = arrays.edge_pos[cur]  # [B, E, R, W]
         e_neg = arrays.edge_neg[cur]
         sim = ternary_dot(
@@ -108,11 +136,29 @@ def _score_edges(
         ).astype(jnp.float32)
         return similarity_to_distance(sim, params.metric)
     if et is EdgeType.INT8:
+        if mode is not None:
+            return pallas_kernels.int8_frontier_scores(
+                cur.reshape(B * E),
+                flat_q(queries),
+                arrays.edge_i8,
+                arrays.edge_scale,
+                metric=params.metric,
+                interpret=mode == "interpret",
+            ).reshape(B, E, R)
         codes = arrays.edge_i8[cur]  # [B, E, R, D]
         scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = codes.astype(jnp.float32) * scale[..., None]
         return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
     if et is EdgeType.INT4:
+        if mode is not None and params.dims % 2 == 0:
+            return pallas_kernels.int4_frontier_scores(
+                cur.reshape(B * E),
+                flat_q(queries),
+                arrays.edge_i4,
+                arrays.edge_scale,
+                metric=params.metric,
+                interpret=mode == "interpret",
+            ).reshape(B, E, R)
         packed = arrays.edge_i4[cur]  # [B, E, R, Dh] — half INT8's bytes
         scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = decode_int4(packed, scale, params.dims)
@@ -186,6 +232,7 @@ def beam_search(
         beam_dist=beam_dist,
         beam_slot=beam_slot,
         beam_vis=jnp.zeros((B, L), jnp.bool_),
+        seed_vis=jnp.zeros((B, S), jnp.bool_),
         vis_slot=jnp.full((B, V), -1, jnp.int32),
         vis_dist=jnp.full((B, V), INF),
         vis_cnt=jnp.zeros((B,), jnp.int32),
@@ -221,6 +268,11 @@ def beam_search(
         # Mark the beam entries visited.
         oh = jax.nn.one_hot(idx_e, L, dtype=jnp.bool_) & active_e[:, :, None]
         beam_vis = s.beam_vis | jnp.any(oh, axis=1)
+        # Track which SEEDS have been visited (see candidate mask below).
+        seed_vis = s.seed_vis | jnp.any(
+            (cur[:, :, None] == seeds[None, None, :]) & active_e[:, :, None],
+            axis=1,
+        )
 
         # Append the E visits to the visited log (disjoint positions
         # vis_cnt, vis_cnt+1, ... for the active ones).
@@ -248,20 +300,35 @@ def beam_search(
         live_f = nbr_live.reshape(B, E * R)
         dist_f = edge_dist.reshape(B, E * R)
 
-        # Skip neighbors already in the beam or already visited
-        # (vectordiskann.c:1379); the vis check uses the just-updated log so
-        # edges pointing at this round's visits are excluded too.
+        # Skip neighbors already in the beam (vectordiskann.c:1379's
+        # "already a candidate"). The reference ALSO scans its full visited
+        # list there; that scan is redundant for every non-seed node under
+        # insert-and-evict-worst: a non-seed's beam key (its cached-code
+        # approx distance) is identical on every encounter, the beam's
+        # worst (dist, slot) key is monotone non-increasing, so a visited
+        # node still good enough to be in the beam IS in the beam (caught
+        # here) and one that was evicted re-arrives with the same key and
+        # is dropped by the sorted merge again. The ONE exception is the
+        # seed set: seeds enter with their EXACT distance
+        # (vectordiskann.c:1306-1322) but re-arrive via an edge with their
+        # approx distance, which can be lower — so an evicted visited seed
+        # could re-enter and be visited twice. Blocking just the visited
+        # seeds (O(S), S tiny) replaces the O(B*R*V) visited scan (~50% of
+        # hop time at B=1024) result-identically, validated by the oracle
+        # visit-order parity suite.
         in_beam = jnp.any(
             (nbrs_f[:, :, None] == s.beam_slot[:, None, :])
             & (s.beam_slot >= 0)[:, None, :],
             axis=-1,
         )
-        in_vis = jnp.any(
-            (nbrs_f[:, :, None] == vis_slot[:, None, :])
-            & (vis_slot >= 0)[:, None, :],
+        in_vis_seed = jnp.any(
+            (nbrs_f[:, :, None] == seeds[None, None, :])
+            & seed_vis[:, None, :],
             axis=-1,
         )
-        cand_ok = live_f & ~in_beam & ~in_vis
+        # Edges pointing at this round's own visits: those targets are in
+        # the beam (just marked visited), so in_beam covers them too.
+        cand_ok = live_f & ~in_beam & ~in_vis_seed
         if E > 1:
             # Two visited nodes may share a neighbor: keep only the first
             # occurrence (identical cached-code distance, so which one
@@ -291,6 +358,7 @@ def beam_search(
             beam_dist=new_dist,
             beam_slot=new_slot,
             beam_vis=new_vis.astype(jnp.bool_),
+            seed_vis=seed_vis,
             vis_slot=vis_slot,
             vis_dist=vis_dist,
             vis_cnt=vis_cnt,

@@ -211,30 +211,53 @@ class Database:
         left_column: str,
         right_queries: np.ndarray,
         k: int,
+        return_plan: bool = False,
     ):
         """Lateral top-k join: for each RHS query vector, the k nearest LHS
-        rows with 1-indexed rank — executed as one batched MultiScan
-        (hnsw_optimize_join.cpp / hnsw_index.cpp:336-378)."""
+        rows with 1-indexed rank.
+
+        Builds the *unoptimized* correlated lateral plan — the
+        filter(row_number <= k) -> window -> cross_product shape a SQL
+        frontend would produce — and lets the join optimizer rewrite it into
+        LogicalKnnJoin, one batched MultiScan (hnsw_optimize_join.cpp:352-480
+        matcher + :33-181 physical operator). Without a matching index the
+        lateral plan executes as-is (brute force)."""
         t = self.tables[left_table] if isinstance(left_table, str) else left_table
-        index = None
-        for bidx in t.indexes.values():
-            if bidx.column == left_column:
-                index = bidx.index
-                break
-        if index is None:
-            # Brute-force macro fallback (lm_diskann_join,
-            # hnsw_index_macros.cpp).
-            return self.lm_diskann_join(
-                t, left_column, np.atleast_2d(right_queries), k,
-                index_metric_or_default(t, left_column),
-            )
-        plan = planner.LogicalKnnJoin(
-            left_index=index,
-            left_table=t,
-            right_queries=np.atleast_2d(right_queries),
-            k=k,
+        queries = np.atleast_2d(np.asarray(right_queries, np.float32))
+        metric = index_metric_or_default(t, left_column)
+        fn_name = {
+            MetricType.L2: "array_distance",
+            MetricType.COSINE: "array_cosine_distance",
+            MetricType.IP: "array_negative_inner_product",
+        }[metric]
+        qt = Table("__knn_join_queries__", {"q": queries})
+        dist_expr = FunctionExpr(
+            fn_name,
+            (ColumnRef("q", table=qt.name), ColumnRef(left_column, table=t.name)),
         )
-        return planner.execute(plan)
+        plan = planner.LogicalExprFilter(
+            planner.LogicalWindow(
+                planner.LogicalCrossProduct(
+                    planner.LogicalGet(qt), planner.LogicalGet(t)
+                ),
+                function="row_number",
+                partition="__left_row__",
+                order_expr=dist_expr,
+            ),
+            FunctionExpr("<=", (ColumnRef("row_number"), Const(k))),
+        )
+        optimized = planner.optimize(plan)
+        res = planner.execute(optimized)
+        res.pop("_table", None)
+        if "rank" not in res:
+            # Unoptimized lateral execution: normalize to the KnnJoin output
+            # shape (rows ordered by (query, rank), 1-indexed 'rank').
+            order = np.lexsort((res["row_number"], res["query_index"]))
+            res = {key: val[order] for key, val in res.items()}
+            res["rank"] = res.pop("row_number")
+        if return_plan:
+            return res, optimized
+        return res
 
     # --- table macros (brute force; hnsw_index_macros.cpp:10-113) ---
 

@@ -33,7 +33,12 @@ class Expr:
 
 @dataclasses.dataclass(frozen=True)
 class ColumnRef(Expr):
+    """Column reference; ``table`` qualifies multi-relation expressions (the
+    BoundColumnRef binding-index analog used by the join matcher,
+    hnsw_optimize_join.cpp:397-419)."""
+
     name: str
+    table: str | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -33,6 +33,7 @@ from ..common.types import MetricType
 from .functions import (
     ColumnRef,
     Const,
+    DISTANCE_FUNCTIONS,
     Expr,
     FunctionExpr,
     SIMILARITY_TO_DISTANCE,
@@ -107,6 +108,40 @@ class LogicalKnnJoin(LogicalOp):
     k: int
 
 
+@dataclasses.dataclass
+class LogicalCrossProduct(LogicalOp):
+    """Cartesian product of two relations — the inner shape of an
+    unoptimized correlated lateral top-k (hnsw_optimize_join.cpp:430-456:
+    cross_product below the window, with delim_get + seq_scan children)."""
+
+    left: LogicalOp  # outer/probe side (the query vectors)
+    right: LogicalOp  # inner side (the indexed base table)
+
+
+@dataclasses.dataclass
+class LogicalWindow(LogicalOp):
+    """row_number() OVER (PARTITION BY <outer row> ORDER BY <dist> ASC) —
+    the window operator of the lateral pattern
+    (hnsw_optimize_join.cpp:383-428)."""
+
+    child: LogicalOp
+    function: str  # only "row_number"
+    partition: str  # "__left_row__": partition by outer-relation row
+    order_expr: Expr
+    ascending: bool = True
+    out_name: str = "row_number"
+
+
+@dataclasses.dataclass
+class LogicalExprFilter(LogicalOp):
+    """Filter with an expression predicate (matchable, unlike the callable
+    LogicalFilter) — the row_number <= k filter above the window
+    (hnsw_optimize_join.cpp:360-381)."""
+
+    child: LogicalOp
+    predicate: Expr
+
+
 # --------------------------------------------------------------------- #
 # optimizer passes
 
@@ -143,7 +178,110 @@ def optimize(plan: LogicalOp) -> LogicalOp:
     plan = _optimize_exprs(plan)
     plan = _optimize_topn(plan)
     plan = _optimize_topk(plan)
+    plan = _optimize_join(plan)
     return plan
+
+
+def _match_rank_limit(pred: Expr):
+    """Match ``row_number_col <= k`` / ``< k+1`` / ``k >= col`` forms
+    (the comparison unwrapping of hnsw_optimize_join.cpp:360-381).
+    Returns (column_name, k) or None."""
+    if not isinstance(pred, FunctionExpr) or len(pred.args) != 2:
+        return None
+    a, b = pred.args
+    op = pred.name
+    if isinstance(a, Const) and isinstance(b, ColumnRef):
+        # k >= col  <=>  col <= k ; k > col <=> col < k
+        a, b = b, a
+        op = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}.get(op, None)
+    if not (isinstance(a, ColumnRef) and isinstance(b, Const)):
+        return None
+    if op not in ("<=", "<"):
+        return None
+    try:
+        k = int(b.value)
+    except (TypeError, ValueError):
+        return None
+    if op == "<":
+        k -= 1
+    if k <= 0:
+        return None
+    return a.name, k
+
+
+def _match_join_distance(expr: Expr, left_table, right_table):
+    """Match dist_fn(col@left, col@right) in either operand order
+    (hnsw_optimize_join.cpp:397-419: one operand bound to each join side).
+    Returns (metric, left_column, right_column) or None."""
+    if not isinstance(expr, FunctionExpr) or expr.name not in DISTANCE_FUNCTIONS:
+        return None
+    if len(expr.args) != 2:
+        return None
+    a, b = expr.args
+    if not (isinstance(a, ColumnRef) and isinstance(b, ColumnRef)):
+        return None
+
+    def side(ref):
+        if ref.table == left_table.name:
+            return "l"
+        if ref.table == right_table.name:
+            return "r"
+        return None
+
+    sa, sb = side(a), side(b)
+    if {sa, sb} != {"l", "r"}:
+        return None
+    lcol = a.name if sa == "l" else b.name
+    rcol = a.name if sa == "r" else b.name
+    return DISTANCE_FUNCTIONS[expr.name], lcol, rcol
+
+
+def _optimize_join(plan: LogicalOp) -> LogicalOp:
+    """The lateral top-k join matcher (hnsw_optimize_join.cpp:352-480):
+
+        ExprFilter(row_number <= k)
+          -> Window(row_number PARTITION BY outer row ORDER BY dist ASC)
+            -> CrossProduct(Get(queries), Get(base))
+
+    becomes LogicalKnnJoin batching all outer query vectors through one
+    MultiScan. Falls through (keeps the brute-force plan) when no matching
+    index exists, when a side carries a filter, or on any shape mismatch —
+    exactly the reference's bail-out behavior."""
+    if not isinstance(plan, LogicalExprFilter):
+        return plan
+    m_rank = _match_rank_limit(plan.predicate)
+    if m_rank is None:
+        return plan
+    rank_col, k = m_rank
+    w = plan.child
+    if (
+        not isinstance(w, LogicalWindow)
+        or w.function != "row_number"
+        or not w.ascending
+        or w.out_name != rank_col
+        or w.partition != "__left_row__"
+    ):
+        return plan
+    cp = w.child
+    if not isinstance(cp, LogicalCrossProduct):
+        return plan
+    lget, rget = cp.left, cp.right
+    if not (isinstance(lget, LogicalGet) and isinstance(rget, LogicalGet)):
+        return plan
+    if lget.filter is not None or rget.filter is not None:
+        return plan
+    order = rewrite_expr(w.order_expr)
+    m = _match_join_distance(order, lget.table, rget.table)
+    if m is None:
+        return plan
+    metric, lcol, rcol = m
+    index = _find_index(rget.table, rcol, metric)
+    if index is None:
+        return plan
+    queries = np.asarray(lget.table.columns[lcol], np.float32)
+    return LogicalKnnJoin(
+        left_index=index, left_table=rget.table, right_queries=queries, k=k
+    )
 
 
 def _optimize_exprs(plan: LogicalOp) -> LogicalOp:
@@ -293,6 +431,71 @@ def execute(plan: LogicalOp) -> dict:
         if plan.filter is not None:
             ids = ids[plan.filter(plan.table, ids)]
         return {"row_ids": ids, "_table": plan.table}
+
+    if isinstance(plan, LogicalExprFilter):
+        res = execute(plan.child)
+        m = _match_rank_limit(plan.predicate)
+        if m is None:
+            raise NotImplementedError(
+                "ExprFilter supports rank-limit comparisons only"
+            )
+        col, k = m
+        mask = res[col] <= k
+        return {
+            key: (val[mask] if isinstance(val, np.ndarray) else val)
+            for key, val in res.items()
+        }
+
+    if isinstance(plan, LogicalWindow):
+        # Brute-force lateral execution: all-pairs distance (one MXU
+        # matmul) + per-partition rank under the engine's deterministic
+        # (distance, rowid) tie-break — the plan shape the join optimizer
+        # replaces (hnsw_optimize_join.cpp:430-456).
+        if plan.function != "row_number" or plan.partition != "__left_row__":
+            raise NotImplementedError("only row_number over outer row")
+        cp = plan.child
+        if not isinstance(cp, LogicalCrossProduct):
+            raise NotImplementedError("window expects a cross product child")
+        lres = execute(cp.left)
+        rres = execute(cp.right)
+        ltable, rtable = lres["_table"], rres["_table"]
+        order = rewrite_expr(plan.order_expr)
+        m = _match_join_distance(order, ltable, rtable)
+        if m is None:
+            raise NotImplementedError("window order must be a join distance")
+        metric, lcol, rcol = m
+        lids, rids = lres["row_ids"], rres["row_ids"]
+        lvecs = ltable.fetch(lids, lcol).astype(np.float32)
+        rvecs = rtable.fetch(rids, rcol).astype(np.float32)
+        import jax.numpy as jnp
+
+        from ..ops.distance import all_pairs_distance
+
+        d = np.asarray(
+            all_pairs_distance(jnp.asarray(lvecs), jnp.asarray(rvecs), metric)
+        )  # [B, N]
+        if not plan.ascending:
+            d = -d
+        B, N = d.shape
+        order_idx = np.lexsort(
+            (np.broadcast_to(rids, (B, N)), d), axis=-1
+        )  # [B, N] positions sorted by (dist, rowid)
+        ranks = np.empty((B, N), np.int64)
+        np.put_along_axis(
+            ranks, order_idx, np.broadcast_to(np.arange(1, N + 1), (B, N)), -1
+        )
+        return {
+            "query_index": np.repeat(np.arange(B), N),
+            "row_ids": np.tile(rids, B),
+            "distance": (d if plan.ascending else -d).reshape(-1),
+            plan.out_name: ranks.reshape(-1),
+            "_table": rtable,
+        }
+
+    if isinstance(plan, LogicalCrossProduct):
+        raise NotImplementedError(
+            "bare cross products are only executed under a window"
+        )
 
     if isinstance(plan, LogicalKnnJoin):
         # Batched MultiScan (hnsw_optimize_join.cpp:137-152): all RHS query

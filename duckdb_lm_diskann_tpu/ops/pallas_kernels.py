@@ -21,18 +21,39 @@ used (tests exercise the kernel in interpreter mode).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..common.types import MetricType
 
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def dispatch_mode(force: str | None = None) -> str | None:
+    """Trace-time kernel dispatch: 'compiled', 'interpret', or None (use the
+    jnp fallback). Mirrors ResolveKernel/GetDotKernel runtime dispatch
+    (ternary_quantization.hpp:562-602).
+
+    ``force`` (usually GraphParams.pallas, seeded from the LMD_PALLAS env
+    var): "auto" = compiled on TPU, jnp elsewhere; "1" = compiled on TPU,
+    interpreter elsewhere (tests exercise the kernel code path on CPU);
+    "interpret" = always interpreter; "0" = always the jnp fallback."""
+    mode = force if force is not None else os.environ.get("LMD_PALLAS", "auto")
+    if mode == "0":
+        return None
+    if mode == "interpret":
+        return "interpret"
+    if _on_tpu():
+        return "compiled"
+    return "interpret" if mode == "1" else None
 
 
 def _ternary_score_kernel(cur_ref, qp_ref, qn_ref, ep_ref, en_ref, out_ref):
@@ -100,3 +121,155 @@ def ternary_frontier_scores_auto(cur_slots, q_pos, q_neg, edge_pos, edge_neg):
     return ternary_frontier_scores(
         cur_slots, q_pos, q_neg, edge_pos, edge_neg, interpret=not _on_tpu()
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused gather + dequantize + distance for INT4/INT8 edge caches — the
+# default (benchmarked) L2 configuration. The XLA fallback materializes the
+# gathered codes and the dequantized [B, R, D] float tensor in HBM between
+# ops; this kernel streams each visited node's cached codes through VMEM
+# once: row DMA -> dequant -> distance (VPU), out [1, R] per grid step.
+#
+# INT4 codes stay split as (low nibble = even dims, high nibble = odd dims):
+# distances decompose as sum over even dims + sum over odd dims, so the
+# kernel never materializes the interleaved [R, D] layout (TPU reshapes
+# across the lane dim are the one thing Pallas punishes). The query arrives
+# pre-split into (q_even, q_odd) by the wrapper.
+# ---------------------------------------------------------------------------
+
+
+def _metric_distance(metric, q_parts, v_parts):
+    """Distance of one query against R vectors, both given as lists of
+    dimension-partitioned pieces (q: [Dp], v: [R, Dp]) that together cover
+    all D dims. Direct-difference forms — pairwise_distance semantics
+    (ops/distance.py; ComputeExactDistanceFloat, distance.hpp:50-105) — so
+    L2 keeps the cancellation-free (q-v)^2 formulation of the jnp path."""
+    if metric is MetricType.L2:
+        d_sq = sum(
+            jnp.sum((q[None, :] - v) ** 2, axis=-1)
+            for q, v in zip(q_parts, v_parts)
+        )
+        return jnp.sqrt(jnp.maximum(d_sq, 0.0))
+    dot = sum(
+        jnp.sum(q[None, :] * v, axis=-1) for q, v in zip(q_parts, v_parts)
+    )
+    if metric is MetricType.IP:
+        return -dot
+    if metric is MetricType.COSINE:
+        q_sq = sum(jnp.sum(q * q) for q in q_parts)
+        v_sq = sum(jnp.sum(v * v, axis=-1) for v in v_parts)
+        norm = jnp.sqrt(q_sq) * jnp.sqrt(v_sq)
+        cos = jnp.clip(dot / jnp.where(norm > 0.0, norm, 1.0), -1.0, 1.0)
+        return jnp.where((q_sq <= 0.0) | (v_sq <= 0.0), 1.0, 1.0 - cos)
+    raise ValueError(f"Unsupported metric type {metric}")
+
+
+def _int4_score_kernel(metric, cur_ref, qe_ref, qo_ref, codes_ref, scale_ref, out_ref):
+    """One grid step: distances from one query to all R cached INT4 neighbor
+    codes of its current node.
+
+    TPU block rules (last two block dims divisible by (8, 128) or equal to
+    the array dims) make per-row 2D blocks illegal, so the query halves and
+    the output stay whole-array VMEM blocks indexed by program_id — the same
+    pattern as the ternary kernel above; only the codes/scales are per-step
+    row DMAs driven by the scalar-prefetched slots.
+
+    qe/qo:  f32[B, Dh]     even-/odd-dim halves of all queries
+    codes:  u8[1, R, Dh]   packed nibbles (low=even dim, high=odd dim)
+    scale:  f32[1, 1, R]
+    out:    f32[B, R]      (row i written per step)
+    """
+    i = pl.program_id(0)
+    qe = qe_ref[i, :]  # [Dh]
+    qo = qo_ref[i, :]
+    c = codes_ref[0].astype(jnp.int32)  # [R, Dh]
+    s = scale_ref[0, 0, :]  # [R]
+    lo = (((c & 0xF) ^ 8) - 8).astype(jnp.float32)  # even dims
+    hi = ((((c >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)  # odd dims
+    v_lo = lo * s[:, None]
+    v_hi = hi * s[:, None]
+    out_ref[i, :] = _metric_distance(metric, [qe, qo], [v_lo, v_hi])
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def int4_frontier_scores(
+    cur_slots: jnp.ndarray,  # i32[B]
+    queries: jnp.ndarray,  # f32[B, D], D even
+    edge_i4: jnp.ndarray,  # u8[C, R, D//2] (HBM resident)
+    edge_scale: jnp.ndarray,  # f32[C, R]
+    *,
+    metric: MetricType,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gather+dequant+distance: f32[B, R] approximate distances of every
+    cached INT4 neighbor of each query's current node."""
+    B, D = queries.shape
+    if D % 2:
+        raise ValueError("int4 kernel requires even D")
+    C, R, Dh = edge_i4.shape
+    q_even = queries[:, 0::2]
+    q_odd = queries[:, 1::2]
+    scale3 = edge_scale.reshape(C, 1, R)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
+            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
+            pl.BlockSpec((1, R, Dh), lambda i, cur: (cur[i], 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda i, cur: (cur[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, R), lambda i, cur: (0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_int4_score_kernel, metric),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
+        interpret=interpret,
+    )(cur_slots, q_even, q_odd, edge_i4, scale3)
+
+
+def _int8_score_kernel(metric, cur_ref, q_ref, codes_ref, scale_ref, out_ref):
+    """One grid step: distances from one query to all R cached INT8 neighbor
+    codes of its current node (same whole-array query/out blocks as the
+    INT4 kernel; see its docstring for the TPU block-shape rationale)."""
+    i = pl.program_id(0)
+    q = q_ref[i, :]  # [D]
+    c = codes_ref[0].astype(jnp.float32)  # [R, D]
+    s = scale_ref[0, 0, :]  # [R]
+    v = c * s[:, None]
+    out_ref[i, :] = _metric_distance(metric, [q], [v])
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def int8_frontier_scores(
+    cur_slots: jnp.ndarray,  # i32[B]
+    queries: jnp.ndarray,  # f32[B, D]
+    edge_i8: jnp.ndarray,  # i8[C, R, D] (HBM resident)
+    edge_scale: jnp.ndarray,  # f32[C, R]
+    *,
+    metric: MetricType,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gather+dequant+distance for INT8 edge caches: f32[B, R]."""
+    B, D = queries.shape
+    C, R, _ = edge_i8.shape
+    scale3 = edge_scale.reshape(C, 1, R)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i, cur: (0, 0)),
+            pl.BlockSpec((1, R, D), lambda i, cur: (cur[i], 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda i, cur: (cur[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, R), lambda i, cur: (0, 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_int8_score_kernel, metric),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
+        interpret=interpret,
+    )(cur_slots, queries, edge_i8, scale3)

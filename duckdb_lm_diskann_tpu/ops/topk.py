@@ -17,7 +17,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INF = jnp.float32(jnp.inf)
+# Python float, not a device array: modules must be import-safe so
+# jax.distributed.initialize() can run before any backend init
+# (parallel/multihost.py entry path).
+INF = float("inf")
 
 
 def sort_by_distance_id(

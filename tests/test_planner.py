@@ -260,3 +260,108 @@ def test_drop_index(tmp_path, rng):
     db.drop_index(t, "i")
     assert not d.exists()
     assert "i" not in t.indexes
+
+
+class TestJoinOptimizer:
+    """The lateral top-k join matcher (hnsw_optimize_join.cpp:352-480)."""
+
+    def _make_db(self, rng, with_index=True):
+        import numpy as np
+
+        from duckdb_lm_diskann_tpu.db.database import connect
+
+        data = rng.standard_normal((120, 12)).astype(np.float32)
+        db = connect()
+        t = db.create_table("base", {"vec": data})
+        if with_index:
+            db.create_index(
+                "v", t, "vec",
+                options={"metric": "l2", "r": 8, "l_insert": 16,
+                         "l_search": 200},
+            )
+        return db, t, data
+
+    def test_lateral_plan_rewrites_to_knn_join(self, rng):
+        import numpy as np
+
+        from duckdb_lm_diskann_tpu.db import planner
+
+        db, t, data = self._make_db(rng)
+        q = rng.standard_normal((5, 12)).astype(np.float32)
+        res, plan = db.knn_join(t, "vec", q, 3, return_plan=True)
+        assert isinstance(plan, planner.LogicalKnnJoin)
+        assert plan.k == 3
+        # identical results to the brute-force lateral execution
+        db2, t2, _ = self._make_db(rng, with_index=False)
+        t2.columns["vec"] = data  # same corpus
+        brute, plan2 = db2.knn_join(t2, "vec", q, 3, return_plan=True)
+        assert isinstance(plan2, planner.LogicalExprFilter)  # no rewrite
+        np.testing.assert_array_equal(res["row_ids"], brute["row_ids"])
+        np.testing.assert_array_equal(res["rank"], brute["rank"])
+        np.testing.assert_array_equal(res["query_index"], brute["query_index"])
+        np.testing.assert_allclose(
+            res["distance"], brute["distance"], rtol=1e-5, atol=1e-5
+        )
+        assert list(res["rank"][:3]) == [1, 2, 3]
+
+    def test_matcher_bails_on_wrong_shapes(self, rng):
+        import numpy as np
+
+        from duckdb_lm_diskann_tpu.db import planner
+        from duckdb_lm_diskann_tpu.db.database import Table
+        from duckdb_lm_diskann_tpu.db.functions import (
+            ColumnRef, Const, FunctionExpr,
+        )
+
+        db, t, _ = self._make_db(rng)
+        qt = Table("qs", {"q": rng.standard_normal((4, 12)).astype(np.float32)})
+
+        def lateral(order_expr, pred, ascending=True):
+            return planner.LogicalExprFilter(
+                planner.LogicalWindow(
+                    planner.LogicalCrossProduct(
+                        planner.LogicalGet(qt), planner.LogicalGet(t)
+                    ),
+                    function="row_number",
+                    partition="__left_row__",
+                    order_expr=order_expr,
+                    ascending=ascending,
+                ),
+                pred,
+            )
+
+        good_order = FunctionExpr(
+            "array_distance",
+            (ColumnRef("q", table="qs"), ColumnRef("vec", table="base")),
+        )
+        good_pred = FunctionExpr("<=", (ColumnRef("row_number"), Const(3)))
+        assert isinstance(
+            planner.optimize(lateral(good_order, good_pred)),
+            planner.LogicalKnnJoin,
+        )
+        # reversed comparison also matches: 3 >= row_number
+        rev_pred = FunctionExpr(">=", (Const(3), ColumnRef("row_number")))
+        assert isinstance(
+            planner.optimize(lateral(good_order, rev_pred)),
+            planner.LogicalKnnJoin,
+        )
+        # metric mismatch (cosine expr, l2 index) -> no rewrite
+        cos_order = FunctionExpr(
+            "array_cosine_distance",
+            (ColumnRef("q", table="qs"), ColumnRef("vec", table="base")),
+        )
+        assert isinstance(
+            planner.optimize(lateral(cos_order, good_pred)),
+            planner.LogicalExprFilter,
+        )
+        # descending order -> no rewrite
+        assert isinstance(
+            planner.optimize(lateral(good_order, good_pred, ascending=False)),
+            planner.LogicalExprFilter,
+        )
+        # rank predicate on the wrong column -> no rewrite
+        bad_pred = FunctionExpr("<=", (ColumnRef("other"), Const(3)))
+        assert isinstance(
+            planner.optimize(lateral(good_order, bad_pred)),
+            planner.LogicalExprFilter,
+        )
