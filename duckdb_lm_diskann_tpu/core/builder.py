@@ -71,7 +71,9 @@ def batched_robust_prune(
         & arrays.valid[safe]
         & (cand_slots != self_slots[:, None])
     )
-    cand_vecs = arrays.vectors[safe]  # [T, C, D]
+    # Gather in storage dtype (int8 rows cost 1/4 the HBM bandwidth), widen
+    # in-register.
+    cand_vecs = arrays.vectors[safe].astype(jnp.float32)  # [T, C, D]
     d_node = pairwise_distance(
         node_vecs[:, None, :], cand_vecs, params.prune_metric
     )
@@ -142,7 +144,7 @@ def write_neighbor_rows(
 
     nbr_ok = nbr_slots >= 0
     safe_nbr = jnp.maximum(nbr_slots, 0)
-    nbr_vecs = arrays.vectors[safe_nbr]  # [T, R, D]
+    nbr_vecs = arrays.vectors[safe_nbr].astype(jnp.float32)  # [T, R, D]
 
     new = {
         "neighbors": arrays.neighbors.at[tgt].set(nbr_slots, mode="drop"),
@@ -201,7 +203,11 @@ def delete_repair_round(
     ) | (cand == tgt_slots[:, None])
     cand = jnp.where(gone, -1, cand)
     sel = batched_robust_prune(
-        arrays, arrays.vectors[safe_t], cand, tgt_slots, params=params
+        arrays,
+        arrays.vectors[safe_t].astype(jnp.float32),
+        cand,
+        tgt_slots,
+        params=params,
     )
     return write_neighbor_rows(arrays, tgt_slots, sel, params=params)
 
@@ -212,10 +218,19 @@ def store_vectors(
 ) -> GraphArrays:
     """Store node vectors + mark slots live (AddNode steps 1-3,
     GraphManager.cpp:73-113, minus the reference's int8 placeholder cast
-    quirk — SURVEY Appendix B). Slots < 0 are dropped (shape padding)."""
+    quirk — SURVEY Appendix B). Slots < 0 are dropped (shape padding).
+
+    INT8 storage quantizes with round + clamp (identity for genuine
+    TINYINT-column data, whose values are already int8-integral); all
+    compute then reads the stored values, so search/build/persistence are
+    self-consistent."""
     idx = jnp.where(slots >= 0, slots, arrays.capacity)
+    if arrays.vectors.dtype == jnp.int8:
+        stored = jnp.clip(jnp.round(vecs), -128, 127).astype(jnp.int8)
+    else:
+        stored = vecs.astype(arrays.vectors.dtype)
     return arrays._replace(
-        vectors=arrays.vectors.at[idx].set(vecs.astype(jnp.float32), mode="drop"),
+        vectors=arrays.vectors.at[idx].set(stored, mode="drop"),
         valid=arrays.valid.at[idx].set(True, mode="drop"),
         neighbors=arrays.neighbors.at[idx].set(-1, mode="drop"),
         dirty_rows=arrays.dirty_rows.at[idx].set(True, mode="drop"),
@@ -279,11 +294,11 @@ def replace_edge_lists(
     valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
     t_safe = jnp.maximum(tgt, 0)
     c_safe = jnp.maximum(new_c, 0)
-    t_vec = vectors[t_safe]  # [U, D]
-    c_vec = vectors[c_safe]  # [U, D]
+    t_vec = vectors[t_safe].astype(jnp.float32)  # [U, D]
+    c_vec = vectors[c_safe].astype(jnp.float32)  # [U, D]
     nbr = neighbors[t_safe]  # [U, R]
     present = nbr >= 0
-    nbr_vecs = vectors[jnp.maximum(nbr, 0)]  # [U, R, D]
+    nbr_vecs = vectors[jnp.maximum(nbr, 0)].astype(jnp.float32)  # [U, R, D]
 
     pm = params.prune_metric
     d_tc = pairwise_distance(t_vec, c_vec, pm)  # [U]
@@ -355,11 +370,13 @@ def force_edge_lists(
     nbr = neighbors[t_safe]
     present = nbr >= 0
     already = jnp.any(nbr == new_c[:, None], axis=-1)
-    nbr_vecs = vectors[jnp.maximum(nbr, 0)]
+    nbr_vecs = vectors[jnp.maximum(nbr, 0)].astype(jnp.float32)
     d_te = jnp.where(
         present,
         pairwise_distance(
-            vectors[t_safe][:, None, :], nbr_vecs, params.prune_metric
+            vectors[t_safe].astype(jnp.float32)[:, None, :],
+            nbr_vecs,
+            params.prune_metric,
         ),
         -INF,
     )

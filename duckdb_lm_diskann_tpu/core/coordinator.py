@@ -122,8 +122,8 @@ class Coordinator:
                 f"vector dimensions {vectors.shape[1]} != index dimensions "
                 f"{self.config.dimensions}"
             )
-        if self.config.node_vector_type is VectorType.INT8:
-            vectors = vectors.astype(np.float32)
+        # Compute flows in f32; store_vectors quantizes back to the storage
+        # dtype (int8 round+clamp — identity for TINYINT-column values).
         vectors = np.ascontiguousarray(vectors, np.float32)
 
         self._ensure_capacity(self.allocator.high_water + len(rowids))
@@ -395,7 +395,7 @@ class Coordinator:
         import jax.numpy as jnp
 
         valid = self.arrays.valid
-        vecs = self.arrays.vectors
+        vecs = self.arrays.vectors.astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(valid), 1)
         mean = jnp.sum(
             jnp.where(valid[:, None], vecs, 0.0), axis=0

@@ -54,7 +54,7 @@ class GraphArrays(NamedTuple):
     placeholders so the pytree structure is static across configs.
     """
 
-    vectors: jnp.ndarray  # f32[C, D]
+    vectors: jnp.ndarray  # f32[C, D] — or i8[C, D] for INT8 node vectors
     neighbors: jnp.ndarray  # i32[C, R]
     valid: jnp.ndarray  # bool[C]
     edge_pos: jnp.ndarray  # u32[C, R, W]  (TERNARY) else [C, 0, 0]
@@ -86,6 +86,13 @@ class GraphParams:
     l_insert: int
     l_search: int
     max_visits: int
+    # Node-vector storage dtype. INT8 (ARRAY(TINYINT, N) columns) keeps the
+    # device array in int8 — 4x less HBM and visit-gather bandwidth — and
+    # widens to f32 in-register at distance time, the real version of the
+    # reference's CalculateDistance<float,int8> convert (distance.hpp:
+    # 165-198); its AddNode stores a placeholder cast instead
+    # (GraphManager.cpp:98-107, SURVEY Appendix B — done right here).
+    node_vtype: VectorType = VectorType.FLOAT32
     # Frontier-scoring kernel dispatch: "auto" | "1" | "interpret" | "0"
     # (see ops/pallas_kernels.dispatch_mode). Static, so flipping it
     # retraces — the trace-time analog of the reference's GetDotKernel
@@ -105,6 +112,7 @@ class GraphParams:
             l_insert=config.l_insert,
             l_search=config.l_search,
             max_visits=config.resolved_max_visits(),
+            node_vtype=config.node_vector_type,
             pallas=os.environ.get("LMD_PALLAS", "auto"),
         )
 
@@ -136,8 +144,11 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
     i4 = et is EdgeType.INT4
     f32 = et is EdgeType.FLOAT32
     dh = (d + 1) // 2
+    vec_dtype = (
+        jnp.int8 if params.node_vtype is VectorType.INT8 else jnp.float32
+    )
     return GraphArrays(
-        vectors=jnp.zeros((capacity, d), jnp.float32),
+        vectors=jnp.zeros((capacity, d), vec_dtype),
         neighbors=jnp.full((capacity, r), -1, jnp.int32),
         valid=jnp.zeros((capacity,), jnp.bool_),
         edge_pos=jnp.zeros((capacity, r if tern else 0, w if tern else 0), jnp.uint32),

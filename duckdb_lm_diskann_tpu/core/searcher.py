@@ -170,7 +170,7 @@ def _score_edges(
     # EdgeType.NONE: exact traversal — gather the neighbors' own vectors
     # (the C++ Searcher behavior, core/Searcher.cpp:168-173).
     safe_nbrs = jnp.maximum(nbrs, 0)
-    vecs = arrays.vectors[safe_nbrs]  # [B, E, R, D]
+    vecs = arrays.vectors[safe_nbrs].astype(jnp.float32)  # [B, E, R, D]
     return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
 
 
@@ -215,7 +215,7 @@ def beam_search(
     # --- Seed: entry point(s) with exact distance (vectordiskann.c:1306-1322).
     seeds_b = jnp.broadcast_to(seeds[None, :], (B, S))
     seed_ok = (seeds_b >= 0) & arrays.valid[jnp.maximum(seeds_b, 0)]
-    seed_vec = arrays.vectors[jnp.maximum(seeds, 0)]  # [S, D]
+    seed_vec = arrays.vectors[jnp.maximum(seeds, 0)].astype(jnp.float32)
     seed_dist = pairwise_distance(
         queries[:, None, :], seed_vec[None, :, :], params.metric
     )  # [B, S]
@@ -262,7 +262,7 @@ def beam_search(
 
         # Visit: exact distance to each node's full-precision vector
         # (vectordiskann.c:1366-1370).
-        node_vec = arrays.vectors[cur]  # [B, E, D]
+        node_vec = arrays.vectors[cur].astype(jnp.float32)  # [B, E, D]
         exact = pairwise_distance(queries[:, None, :], node_vec, params.metric)
 
         # Mark the beam entries visited.

@@ -279,10 +279,15 @@ def load_index(
             nbr_slots = np.empty((0, config.r), np.int32)
 
         valid = np.zeros(cap, bool)
-        vecs = np.zeros((cap, config.dimensions), np.float32)
+        vec_dtype = (
+            np.int8
+            if config.node_vector_type is VectorType.INT8
+            else np.float32
+        )
+        vecs = np.zeros((cap, config.dimensions), vec_dtype)
         nbrs = np.full((cap, config.r), -1, np.int32)
         if hw:
-            vecs[:hw] = decoded["vectors"].astype(np.float32)
+            vecs[:hw] = decoded["vectors"].astype(vec_dtype)
             nbrs[:hw] = nbr_slots
         for rowid, slot in lookup.items():
             valid[slot] = True
