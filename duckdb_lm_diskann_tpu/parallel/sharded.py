@@ -101,6 +101,17 @@ class ShardedIndex:
         self.n_shards = self.mesh.devices.size
         self.coordinators = [Coordinator(config) for _ in range(self.n_shards)]
         self._stacked: StackedGraphArrays | None = None
+        # Incremental restack state: per-shard single-device buffers, keyed
+        # by stacked-field name, refreshed only for shards mutated since the
+        # last stack (round-1 restacked the WHOLE index host->device on
+        # every mutation — O(N) per insert, disqualifying at 10M+ rows).
+        self._shard_bufs: list[dict | None] = [None] * self.n_shards
+        self._dirty_shards: set[int] = set(range(self.n_shards))
+        self._stacked_cap = 0
+
+    def _invalidate(self, shards) -> None:
+        self._stacked = None
+        self._dirty_shards.update(shards)
 
     def build(self, rowids, vectors: np.ndarray, max_batch: int = 1024) -> None:
         vectors = np.ascontiguousarray(np.atleast_2d(vectors), np.float32)
@@ -111,53 +122,88 @@ class ShardedIndex:
                 self.coordinators[s].bulk_build(
                     rowids[part].tolist(), vectors[part], max_batch=max_batch
                 )
-        self._stacked = None  # invalidate device stack
+        self._invalidate(range(self.n_shards))
 
     def insert(self, rowids, vectors: np.ndarray) -> None:
         """Dynamic insert: route new rows to the smallest shards."""
         vectors = np.atleast_2d(np.asarray(vectors, np.float32))
         order = np.argsort([c.count for c in self.coordinators], kind="stable")
         parts = np.array_split(np.arange(len(vectors)), self.n_shards)
+        touched = []
         for s, part in zip(order, parts):
             if len(part):
                 self.coordinators[s].insert(
                     [int(rowids[i]) for i in part], vectors[part]
                 )
-        self._stacked = None
+                touched.append(int(s))
+        self._invalidate(touched)
 
     def delete(self, rowids) -> int:
         n = 0
-        for c in self.coordinators:
-            n += c.delete(rowids)
-        self._stacked = None
+        touched = []
+        for s, c in enumerate(self.coordinators):
+            d = c.delete(rowids)
+            if d:
+                touched.append(s)
+            n += d
+        self._invalidate(touched)
         return n
 
     # ----------------------------------------------------------------- #
     # device state
 
     def stacked(self) -> StackedGraphArrays:
+        """Assemble the device-sharded stacked state, re-uploading ONLY the
+        shards mutated since the last call: each shard's rows live in one
+        per-device buffer; ``jax.make_array_from_single_device_arrays``
+        stitches the cached + refreshed buffers into the global arrays
+        without touching clean shards (cost O(dirty), not O(N))."""
         if self._stacked is not None:
             return self._stacked
         cap = max(max(c.capacity for c in self.coordinators), 1)
-        pad_coords = []
-        for c in self.coordinators:
+        if cap != self._stacked_cap:
+            # capacity growth reshapes every buffer: full refresh
+            self._dirty_shards = set(range(self.n_shards))
+            self._stacked_cap = cap
+        devices = list(self.mesh.devices.flat)
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        field_names = list(GraphArrays._fields) + [
+            "rowids_hi", "rowids_lo", "entry", "counts",
+        ]
+
+        for s in self._dirty_shards:
+            c = self.coordinators[s]
             c._ensure_capacity(cap)
-            pad_coords.append(c)
-        arrays = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[c.arrays for c in pad_coords]
-        )
-        hi_lo = [_split_rowids64(c._slot_rowids[:cap]) for c in pad_coords]
-        rowids_hi = jnp.asarray(np.stack([h for h, _ in hi_lo]))
-        rowids_lo = jnp.asarray(np.stack([l for _, l in hi_lo]))
-        entry = jnp.asarray([c.entry_slot for c in pad_coords], jnp.int32)
-        counts = jnp.asarray([c.count for c in pad_coords], jnp.int32)
-        shard = NamedSharding(self.mesh, P(DATA_AXIS))
+            hi, lo = _split_rowids64(c._slot_rowids[:cap])
+            per_field = {
+                name: np.asarray(c.arrays[i])
+                for i, name in enumerate(GraphArrays._fields)
+            }
+            per_field["rowids_hi"] = hi
+            per_field["rowids_lo"] = lo
+            per_field["entry"] = np.asarray(c.entry_slot, np.int32)
+            per_field["counts"] = np.asarray(c.count, np.int32)
+            self._shard_bufs[s] = {
+                name: jax.device_put(v[None], devices[s])
+                for name, v in per_field.items()
+            }
+        self._dirty_shards = set()
+
+        def assemble(name):
+            sample = self._shard_bufs[0][name]
+            global_shape = (self.n_shards,) + sample.shape[1:]
+            return jax.make_array_from_single_device_arrays(
+                global_shape,
+                sharding,
+                [self._shard_bufs[s][name] for s in range(self.n_shards)],
+            )
+
         stacked = StackedGraphArrays(
-            arrays=jax.tree.map(lambda a: jax.device_put(a, shard), arrays),
-            rowids_hi=jax.device_put(rowids_hi, shard),
-            rowids_lo=jax.device_put(rowids_lo, shard),
-            entry=jax.device_put(entry, shard),
-            counts=jax.device_put(counts, shard),
+            arrays=GraphArrays(*(assemble(n) for n in GraphArrays._fields)),
+            rowids_hi=assemble("rowids_hi"),
+            rowids_lo=assemble("rowids_lo"),
+            entry=assemble("entry"),
+            counts=assemble("counts"),
         )
         self._stacked = stacked
         return stacked
