@@ -122,6 +122,29 @@ def run_config(
     elapsed = time.perf_counter() - t0
     qps = n_batches * batch / elapsed
 
+    # Kernel-dispatch delta (VERDICT r1 item 3): same timed loop with the
+    # other frontier-scoring path (Pallas fused kernel vs plain-XLA jnp),
+    # so the report carries both.
+    import dataclasses
+
+    alt = "0" if coord.params.pallas != "0" else "auto"
+    alt_params = dataclasses.replace(coord.params, pallas=alt)
+
+    def run_batch_alt(qb):
+        return beam_search(
+            coord.arrays, qb, jnp.int32(coord.entry_slot),
+            params=alt_params, l_search=L, k=k, beam_width=width,
+        )
+
+    jax.block_until_ready(run_batch_alt(q_dev[:batch]))
+    t0 = time.perf_counter()
+    outs_alt = [
+        run_batch_alt(q_dev[i * batch : (i + 1) * batch])
+        for i in range(n_batches)
+    ]
+    jax.block_until_ready(outs_alt)
+    qps_alt = n_batches * batch / (time.perf_counter() - t0)
+
     # Latency percentiles at serving batch 64 (per-query latency in a
     # batched engine == its batch's latency).
     lat_batch = 64
@@ -136,15 +159,33 @@ def run_config(
     lat = np.asarray(lat) * 1e3
     p50, p99 = float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
 
-    # Recall@k vs exact brute force (device matmul, chunked).
+    # Recall@k vs exact brute force. lax.top_k over n-wide rows is
+    # pathologically slow at n=1M on TPU; segmented exact top-k instead:
+    # top-k per 1024-wide segment, then top-k of the union — identical
+    # result (the global top-k is contained in the per-segment top-ks).
     all_ids = np.concatenate([np.asarray(o.topk_slots) for o in outs])
+    seg = 1024
+    n_pad = ((n + seg - 1) // seg) * seg
+
+    @jax.jit
+    def exact_topk(qs):
+        d = all_pairs_distance(qs, coord.arrays.vectors[:n].astype(jnp.float32),
+                               cfg.metric_type)  # [Q, n]
+        Q = d.shape[0]
+        d = jnp.pad(d, ((0, 0), (0, n_pad - n)), constant_values=jnp.inf)
+        ds = d.reshape(Q, n_pad // seg, seg)
+        sd, si = jax.lax.top_k(-ds, k)  # [Q, S, k] per-segment
+        base = (jnp.arange(n_pad // seg, dtype=jnp.int32) * seg)[None, :, None]
+        cand_i = (si + base).reshape(Q, -1)
+        cand_d = sd.reshape(Q, -1)
+        fd, fi = jax.lax.top_k(cand_d, k)
+        return jnp.take_along_axis(cand_i, fi, axis=-1)
+
     hits = 0
     bf_chunk = 512
     total_q = n_batches * batch
     for i in range(0, total_q, bf_chunk):
-        qs = q_dev[i : i + bf_chunk]
-        d = all_pairs_distance(qs, coord.arrays.vectors[:n], cfg.metric_type)
-        truth = np.asarray(jax.lax.top_k(-d, k)[1])
+        truth = np.asarray(exact_topk(q_dev[i : i + bf_chunk]))
         for b in range(truth.shape[0]):
             hits += len(set(all_ids[i + b].tolist()) & set(truth[b].tolist()))
     recall = hits / (total_q * k)
@@ -161,6 +202,8 @@ def run_config(
         "build_seconds": round(build_s, 1),
         "inserts_per_second": round(n / build_s, 1),
         "qps": round(qps, 1),
+        "qps_pallas" if alt == "0" else "qps_xla": round(qps, 1),
+        "qps_xla" if alt == "0" else "qps_pallas": round(qps_alt, 1),
         "recall_at_k": round(recall, 4),
         "k": k,
         "l_search": L,

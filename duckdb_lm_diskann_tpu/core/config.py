@@ -177,6 +177,14 @@ class LmDiskannConfig:
     # one beam slot and every hop visits one node, so l_search + slack is a
     # true upper bound in practice; we cap defensively.
     max_visits: int = 0  # 0 -> resolved to 4 * l_search
+    # Visit budget for the INSERT-path candidate search. libSQL's insert
+    # search has no cap (vectordiskann.c:1493-1623, loop bounded only by
+    # beam exhaustion); the default 2*L_INSERT is a deliberate throughput
+    # deviation — candidate quality saturates well before that and the
+    # insert search dominates build time. Raise (e.g. 8*L_INSERT) for
+    # strict capless-equivalent libSQL parity; tests/test_build.py verifies
+    # the cap never binds there, so the parity claim is real.
+    insert_max_visits: int = 0  # 0 -> resolved to 2 * l_insert
     # Keys the user passed explicitly in WITH (...) — lets the load path
     # distinguish "user demanded r=8" from "r defaulted to 64" when checking
     # options against a persisted config (reopen must not silently change
@@ -194,6 +202,13 @@ class LmDiskannConfig:
 
     def resolved_max_visits(self) -> int:
         return self.max_visits if self.max_visits > 0 else 4 * self.l_search
+
+    def resolved_insert_max_visits(self) -> int:
+        return (
+            self.insert_max_visits
+            if self.insert_max_visits > 0
+            else 2 * self.l_insert
+        )
 
     def validate(self) -> None:
         """ValidateParameters (index_config.cpp:66-102)."""

@@ -86,6 +86,9 @@ class GraphParams:
     l_insert: int
     l_search: int
     max_visits: int
+    # Insert-path visit budget (see LmDiskannConfig.insert_max_visits: a
+    # documented throughput deviation from libSQL's capless insert search).
+    insert_max_visits: int = 0
     # Node-vector storage dtype. INT8 (ARRAY(TINYINT, N) columns) keeps the
     # device array in int8 — 4x less HBM and visit-gather bandwidth — and
     # widens to f32 in-register at distance time, the real version of the
@@ -112,6 +115,7 @@ class GraphParams:
             l_insert=config.l_insert,
             l_search=config.l_search,
             max_visits=config.resolved_max_visits(),
+            insert_max_visits=config.resolved_insert_max_visits(),
             node_vtype=config.node_vector_type,
             pallas=os.environ.get("LMD_PALLAS", "auto"),
         )

@@ -394,8 +394,9 @@ def search_for_initial_candidates(
 ) -> SearchResult:
     """Insert-path candidate search: beam search with L=k=L_insert
     (Searcher::SearchForInitialCandidates, core/Searcher.cpp:275-294).
-    Visit budget is 2*L_insert: candidate quality saturates well before the
-    search-path 4x cap, and the insert search dominates build time."""
+    Visit budget defaults to 2*L_insert — a documented throughput deviation
+    from libSQL's capless insert search (config.insert_max_visits raises it;
+    tests verify a raised cap never binds, so parity is capless-real)."""
     return beam_search(
         arrays,
         queries,
@@ -403,5 +404,9 @@ def search_for_initial_candidates(
         params=params,
         l_search=l_insert,
         k=l_insert,
-        max_visits=2 * l_insert,
+        max_visits=(
+            params.insert_max_visits
+            if params.insert_max_visits > 0
+            else 2 * l_insert
+        ),
     )

@@ -62,9 +62,13 @@ class MiniSql:
             for cdef in re.split(r",(?![^\[]*\])", m.group(2)):
                 parts = cdef.strip().split()
                 cname, ctype = parts[0], " ".join(parts[1:])
-                am = re.match(r"(float|real)\s*\[\s*(\d+)\s*\]", ctype)
+                am = re.match(r"(float|real|tinyint)\s*\[\s*(\d+)\s*\]", ctype)
                 if am:
-                    cols[cname] = np.empty((0, int(am.group(2))), np.float32)
+                    # TINYINT[N] -> int8 column (ARRAY(TINYINT, N): the
+                    # reference's int8 vector columns,
+                    # db/LmDiskannIndex.cpp:137-154)
+                    dt = np.int8 if am.group(1) == "tinyint" else np.float32
+                    cols[cname] = np.empty((0, int(am.group(2))), dt)
                 else:
                     cols[cname] = np.empty((0,), np.int64)
             self.db.create_table(name, cols)
@@ -87,7 +91,7 @@ class MiniSql:
             arrs = {}
             for c in col_names:
                 if t.columns[c].ndim == 2:
-                    arrs[c] = np.asarray(values[c], np.float32)
+                    arrs[c] = np.asarray(values[c]).astype(t.columns[c].dtype)
                 else:
                     arrs[c] = np.asarray(values[c], np.int64)
             t.insert(arrs)
@@ -135,6 +139,21 @@ class MiniSql:
             else:
                 mask = t.columns[col] == val
                 t.delete(t.row_ids[mask].tolist())
+            return []
+
+        m = re.match(r"set\s+(\w+)\s*=\s*'?([\w.]+)'?\s*$", low)
+        if m:
+            # Session option (SET lm_diskann_l_search = ..., the
+            # hnsw_ef_search analog, hnsw_index.cpp:667-675).
+            name, val = m.group(1), m.group(2)
+            try:
+                value = int(val)
+            except ValueError:
+                try:
+                    value = float(val)
+                except ValueError:
+                    value = val
+            self.db.set_option(name, value)
             return []
 
         m = re.match(r"pragma\s+lm_diskann_index_info\s*$", low)

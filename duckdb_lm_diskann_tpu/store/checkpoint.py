@@ -57,6 +57,7 @@ def _config_to_dict(config: LmDiskannConfig) -> dict:
         "node_vector_type": config.node_vector_type.value,
         "edge_type": config.resolve_edge_type().value,
         "max_visits": config.max_visits,
+        "insert_max_visits": config.insert_max_visits,
     }
 
 
@@ -71,6 +72,7 @@ def _config_from_dict(d: dict) -> LmDiskannConfig:
         node_vector_type=VectorType(d["node_vector_type"]),
         edge_type=EdgeType.parse(d["edge_type"]),
         max_visits=int(d.get("max_visits", 0)),
+        insert_max_visits=int(d.get("insert_max_visits", 0)),
     )
 
 
@@ -305,32 +307,27 @@ def load_index(
             "valid": jnp.asarray(valid),
         }
         et = coord.params.edge_type
+
+        def host_pad(name, rows):
+            # Host-side zeros of the device field's shape/dtype (never pull
+            # a zero array device->host just to discover shape+dtype).
+            field = getattr(arrays, name)
+            out = np.zeros(field.shape, field.dtype)
+            out[:hw] = rows
+            return jnp.asarray(out)
+
         if hw:
             if et is EdgeType.TERNARY:
-                ep = np.zeros_like(np.asarray(arrays.edge_pos))
-                en = np.zeros_like(np.asarray(arrays.edge_neg))
-                ep[:hw] = decoded["edge_pos"]
-                en[:hw] = decoded["edge_neg"]
-                new["edge_pos"] = jnp.asarray(ep)
-                new["edge_neg"] = jnp.asarray(en)
+                new["edge_pos"] = host_pad("edge_pos", decoded["edge_pos"])
+                new["edge_neg"] = host_pad("edge_neg", decoded["edge_neg"])
             elif et is EdgeType.INT8:
-                ei = np.zeros_like(np.asarray(arrays.edge_i8))
-                es = np.zeros_like(np.asarray(arrays.edge_scale))
-                ei[:hw] = decoded["edge_i8"]
-                es[:hw] = decoded["edge_scale"]
-                new["edge_i8"] = jnp.asarray(ei)
-                new["edge_scale"] = jnp.asarray(es)
+                new["edge_i8"] = host_pad("edge_i8", decoded["edge_i8"])
+                new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
             elif et is EdgeType.INT4:
-                ei = np.zeros_like(np.asarray(arrays.edge_i4))
-                es = np.zeros_like(np.asarray(arrays.edge_scale))
-                ei[:hw] = decoded["edge_i4"]
-                es[:hw] = decoded["edge_scale"]
-                new["edge_i4"] = jnp.asarray(ei)
-                new["edge_scale"] = jnp.asarray(es)
+                new["edge_i4"] = host_pad("edge_i4", decoded["edge_i4"])
+                new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
             elif et is EdgeType.FLOAT32:
-                ef = np.zeros_like(np.asarray(arrays.edge_f32))
-                ef[:hw] = decoded["edge_f32"]
-                new["edge_f32"] = jnp.asarray(ef)
+                new["edge_f32"] = host_pad("edge_f32", decoded["edge_f32"])
         coord.arrays = arrays._replace(**new)
 
         entry_rowid = shadow.get_metadata("entry_rowid", INVALID_ROW_ID)

@@ -227,6 +227,15 @@ class OracleGraph:
     # --- insert (GraphManager::AddNode, GraphManager.cpp:65-203) ---
 
     def insert(self, node_id: int, vec: np.ndarray):
+        return self.insert_with_budget(node_id, vec,
+                                       max_visits=2 * self.l_insert)
+
+    def insert_with_budget(self, node_id: int, vec: np.ndarray,
+                           max_visits: int):
+        """Insert with an explicit visit budget. libSQL's insert search is
+        capless (vectordiskann.c:1493-1623); a budget high enough to never
+        bind reproduces that exactly (test_build asserts non-binding), while
+        the default 2*L_insert mirrors the device's throughput setting."""
         vec = np.asarray(vec, np.float32)
         self.vectors[node_id] = vec
         if self.entry_point is None:
@@ -236,10 +245,10 @@ class OracleGraph:
         # SearchForInitialCandidates with L = L_insert, then prune over the
         # FULL visited set — libSQL's "all visited nodes as potential
         # neighbours" (vectordiskann.c:1571-1586), which preserves the
-        # long-range path edges. Visit budget 2*L_insert, same as the device.
+        # long-range path edges.
         _, _, visited, _ = self.search(vec, self.l_insert,
                                        l_search=self.l_insert,
-                                       max_visits=2 * self.l_insert)
+                                       max_visits=max_visits)
         nbrs = self.robust_prune(vec, visited, self_id=node_id)
         self._set_neighbors(node_id, nbrs)
         # Reciprocal pass: add the new node as a candidate edge of EVERY

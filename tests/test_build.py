@@ -153,3 +153,49 @@ def test_search_stats_populated(rng):
     st = coord.last_search_stats
     assert st is not None and st.queries == 4 and st.nodes_visited > 0
     assert "beam_search" in st.explain()
+
+
+def test_insert_visit_cap_never_binds_at_parity_settings(rng):
+    """VERDICT weak #4: the insert-path visit cap (default 2*L_insert) is a
+    deviation from libSQL's capless insert search, and round 1's oracle
+    carried the SAME cap so parity could not catch divergence. Here both
+    engine and oracle run with a cap high enough to never bind (asserted),
+    so the exact-topology parity below is capless-real."""
+    dims, n = 10, 80
+    big_cap = 16 * 16  # 16 * l_insert
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.COSINE, r=8, l_insert=16, l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.TERNARY, insert_max_visits=big_cap,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg, initial_capacity=128)
+    oracle = OracleGraph(dims, cfg.r, MetricType.COSINE, EdgeType.TERNARY,
+                         cfg.alpha, cfg.l_insert, cfg.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+
+    from duckdb_lm_diskann_tpu.core.searcher import (
+        search_for_initial_candidates,
+    )
+
+    max_seen = 0
+    for i in range(n):
+        if i > 0:
+            # the engine's own insert search, at the raised cap
+            res = search_for_initial_candidates(
+                coord.arrays,
+                jnp.asarray(data[i : i + 1]),
+                jnp.int32(coord.entry_slot),
+                params=coord.params,
+                l_insert=cfg.l_insert,
+            )
+            max_seen = max(max_seen, int(np.asarray(res.visited_count)[0]))
+        coord.insert([i], data[i : i + 1])
+        # oracle with the same (non-binding) budget = capless libSQL
+        oracle.insert_with_budget(i, data[i], max_visits=big_cap)
+
+    assert max_seen < big_cap, "cap bound; raise big_cap"
+    nbrs = np.asarray(coord.arrays.neighbors)
+    for i in range(n):
+        got = [int(s) for s in nbrs[i] if s >= 0]
+        assert got == oracle.neighbors[i], f"node {i}"

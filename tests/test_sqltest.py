@@ -46,3 +46,8 @@ def test_statement_error_expectation(tmp_path):
     f.write_text("statement error\nCREATE TABLE t (id INTEGER, vec FLOAT[2]\n")
     # malformed SQL -> error expected -> passes
     run_sqllogic_file(f)
+
+
+def test_int8_sqllogic_file():
+    n = run_sqllogic_file(Path(__file__).parent / "sql" / "int8.sql.test")
+    assert n >= 8
