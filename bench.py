@@ -145,6 +145,27 @@ def run_config(
     jax.block_until_ready(outs_alt)
     qps_alt = n_batches * batch / (time.perf_counter() - t0)
 
+    # Perf mode: beam width 4 (one loop iteration visits 4 nodes, amortizing
+    # the fixed per-hop cost — the classic DiskANN beam-width knob). Strict
+    # reference visit order is width 1; width 4 is the serving configuration
+    # when throughput matters more than order parity. Recall re-measured.
+    outs_w4 = None
+    if width == 1:
+        def run_batch_w4(qb):
+            return beam_search(
+                coord.arrays, qb, jnp.int32(coord.entry_slot),
+                params=coord.params, l_search=L, k=k, beam_width=4,
+            )
+
+        jax.block_until_ready(run_batch_w4(q_dev[:batch]))
+        t0 = time.perf_counter()
+        outs_w4 = [
+            run_batch_w4(q_dev[i * batch : (i + 1) * batch])
+            for i in range(n_batches)
+        ]
+        jax.block_until_ready(outs_w4)
+        qps_w4 = n_batches * batch / (time.perf_counter() - t0)
+
     # Latency percentiles at serving batch 64 (per-query latency in a
     # batched engine == its batch's latency).
     lat_batch = 64
@@ -164,31 +185,42 @@ def run_config(
     # top-k per 1024-wide segment, then top-k of the union — identical
     # result (the global top-k is contained in the per-segment top-ks).
     all_ids = np.concatenate([np.asarray(o.topk_slots) for o in outs])
-    seg = 1024
-    n_pad = ((n + seg - 1) // seg) * seg
+    cap = int(coord.arrays.vectors.shape[0])  # pow2 slot capacity
+    seg = min(1024, cap)
 
+    # NOTE: vectors must be an ARGUMENT, not a closure — a closed-over
+    # device array is embedded as an HLO constant and serialized into the
+    # remote-compile request (512 MB at 1M x 128d -> HTTP 413 on the
+    # axon tunnel). Scoring runs over the full pow2 capacity array (slots
+    # >= n masked to +inf) to avoid materializing a [n, D] copy.
     @jax.jit
-    def exact_topk(qs):
-        d = all_pairs_distance(qs, coord.arrays.vectors[:n].astype(jnp.float32),
-                               cfg.metric_type)  # [Q, n]
+    def exact_topk(qs, vecs):
+        d = all_pairs_distance(qs, vecs.astype(jnp.float32),
+                               cfg.metric_type)  # [Q, cap]
         Q = d.shape[0]
-        d = jnp.pad(d, ((0, 0), (0, n_pad - n)), constant_values=jnp.inf)
-        ds = d.reshape(Q, n_pad // seg, seg)
+        d = jnp.where(jnp.arange(cap)[None, :] < n, d, jnp.inf)
+        ds = d.reshape(Q, cap // seg, seg)
         sd, si = jax.lax.top_k(-ds, k)  # [Q, S, k] per-segment
-        base = (jnp.arange(n_pad // seg, dtype=jnp.int32) * seg)[None, :, None]
+        base = (jnp.arange(cap // seg, dtype=jnp.int32) * seg)[None, :, None]
         cand_i = (si + base).reshape(Q, -1)
         cand_d = sd.reshape(Q, -1)
         fd, fi = jax.lax.top_k(cand_d, k)
         return jnp.take_along_axis(cand_i, fi, axis=-1)
 
-    hits = 0
     bf_chunk = 512
     total_q = n_batches * batch
-    for i in range(0, total_q, bf_chunk):
-        truth = np.asarray(exact_topk(q_dev[i : i + bf_chunk]))
-        for b in range(truth.shape[0]):
-            hits += len(set(all_ids[i + b].tolist()) & set(truth[b].tolist()))
-    recall = hits / (total_q * k)
+    truth = np.concatenate([
+        np.asarray(exact_topk(q_dev[i : i + bf_chunk], coord.arrays.vectors))
+        for i in range(0, total_q, bf_chunk)
+    ])
+
+    def recall_of(ids):
+        hits = 0
+        for b in range(total_q):
+            hits += len(set(ids[b].tolist()) & set(truth[b].tolist()))
+        return hits / (total_q * k)
+
+    recall = recall_of(all_ids)
 
     mean_visits = float(
         np.mean([np.asarray(o.visited_count).mean() for o in outs])
@@ -213,6 +245,10 @@ def run_config(
         "p99_batch64_ms": round(p99, 2),
         "mean_visits_per_query": round(mean_visits, 1),
     }
+    if outs_w4 is not None:
+        ids_w4 = np.concatenate([np.asarray(o.topk_slots) for o in outs_w4])
+        out["qps_w4"] = round(qps_w4, 1)
+        out["recall_w4"] = round(recall_of(ids_w4), 4)
 
     if n_deletes:
         # Per-row delete latency (paper Table IV: LM-DiskANN ~45 ms/row).
@@ -261,15 +297,27 @@ def main() -> None:
             seed=0x61577, n_deletes=0,
         )
 
+    # Headline = best serving config that holds recall@10 >= 0.95
+    # (width-1 strict reference visit order vs width-4 perf mode).
+    best_qps, best_recall, best_w = (
+        main_cfg["qps"], main_cfg["recall_at_k"], width,
+    )
+    if main_cfg.get("qps_w4", 0) > best_qps and main_cfg.get(
+        "recall_w4", 0.0
+    ) >= 0.95:
+        best_qps, best_recall, best_w = (
+            main_cfg["qps_w4"], main_cfg["recall_w4"], 4,
+        )
+
     result = {
         "metric": (
             f"QPS/chip SIFT-like-{n//1000}k d{dims} L2 top-10 "
-            f"(recall@10={main_cfg['recall_at_k']:.3f}, "
+            f"(recall@10={best_recall:.3f}, W={best_w}, "
             f"build={main_cfg['build_seconds']}s, L={l_search})"
         ),
-        "value": main_cfg["qps"],
+        "value": best_qps,
         "unit": "qps",
-        "vs_baseline": round(main_cfg["qps"] / 5000.0, 3),
+        "vs_baseline": round(best_qps / 5000.0, 3),
         "extra": extra,
     }
     print(json.dumps(result))

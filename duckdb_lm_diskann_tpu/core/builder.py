@@ -475,6 +475,10 @@ def insert_step(
         entry_slot,
         params=params,
         l_insert=params.l_insert,
+        # Batched builds amortize the per-hop fixed cost over W visits; the
+        # sequential (full_visited) path pins width 1 so batch-1 inserts
+        # keep exact libSQL visit-order parity.
+        beam_width=1 if full_visited else params.insert_beam_width,
     )
     sel = batched_robust_prune(
         arrays, new_vecs, res.visited_slots, new_slots, params=params

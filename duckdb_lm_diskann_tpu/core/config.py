@@ -185,6 +185,14 @@ class LmDiskannConfig:
     # strict capless-equivalent libSQL parity; tests/test_build.py verifies
     # the cap never binds there, so the parity claim is real.
     insert_max_visits: int = 0  # 0 -> resolved to 2 * l_insert
+    # Beam width of the INSERT-path candidate search in BATCHED builds (the
+    # classic DiskANN beam-width generalization): each while_loop iteration
+    # visits this many nodes, amortizing the fixed per-hop cost (gather
+    # issue + beam merge) over W visits. Sequential (batch-1) inserts always
+    # run width 1 for exact libSQL visit-order parity; batched builds are
+    # already a documented parallel-construction deviation, and the insert
+    # search is the dominant build cost.
+    insert_beam_width: int = 4
     # Keys the user passed explicitly in WITH (...) — lets the load path
     # distinguish "user demanded r=8" from "r defaulted to 64" when checking
     # options against a persisted config (reopen must not silently change
@@ -236,6 +244,8 @@ class LmDiskannConfig:
             )
         if self.metric_type is MetricType.HAMMING:
             raise ValueError("Unsupported metric type HAMMING")
+        if self.insert_beam_width < 1:
+            raise ValueError("LM_DISKANN insert_beam_width must be >= 1")
         # Ternary dot product is not a reliable proxy for L2 distance
         # (index_config.cpp:93-99). The reference rejects L2 outright because
         # its edges are implicitly ternary; we reject only the explicit

@@ -218,10 +218,14 @@ class Coordinator:
         l_search: int | None = None,
         beam_width: int = 1,
         n_seeds: int = 1,
+        allowed_rowids: "np.ndarray | None" = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
-        the index holds fewer than k rows."""
+        the index holds fewer than k rows.
+
+        ``allowed_rowids`` restricts RESULTS to those rows (filtered search:
+        traversal still routes through all nodes; see beam_search)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.config.dimensions:
             raise ValueError(
@@ -238,6 +242,16 @@ class Coordinator:
         # (Coordinator.cpp:63-102 / Searcher::Search :256-272).
         L = max(l_search if l_search is not None else self.config.l_search, k)
         seeds = self._seed_slots(min(n_seeds, L))
+        allowed = None
+        if allowed_rowids is not None:
+            # Slot-space predicate mask: slot allowed iff its rowid is in
+            # the allowed set (vectorized over the slot->rowid table).
+            allowed = jnp.asarray(
+                np.isin(
+                    self._slot_rowids[: self.capacity],
+                    np.asarray(allowed_rowids, np.int64),
+                )
+            )
         import time as _time
 
         t0 = _time.perf_counter()
@@ -249,6 +263,7 @@ class Coordinator:
             l_search=L,
             k=k,
             beam_width=beam_width,
+            allowed=allowed,
         )
         slots = np.asarray(res.topk_slots)
         dists = np.asarray(res.topk_dists)

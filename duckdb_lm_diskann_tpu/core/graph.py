@@ -89,6 +89,10 @@ class GraphParams:
     # Insert-path visit budget (see LmDiskannConfig.insert_max_visits: a
     # documented throughput deviation from libSQL's capless insert search).
     insert_max_visits: int = 0
+    # Beam width of the insert-path search in BATCHED builds (sequential
+    # batch-1 inserts pin width 1 for libSQL visit-order parity); see
+    # LmDiskannConfig.insert_beam_width.
+    insert_beam_width: int = 4
     # Node-vector storage dtype. INT8 (ARRAY(TINYINT, N) columns) keeps the
     # device array in int8 — 4x less HBM and visit-gather bandwidth — and
     # widens to f32 in-register at distance time, the real version of the
@@ -116,6 +120,7 @@ class GraphParams:
             l_search=config.l_search,
             max_visits=config.resolved_max_visits(),
             insert_max_visits=config.resolved_insert_max_visits(),
+            insert_beam_width=config.insert_beam_width,
             node_vtype=config.node_vector_type,
             pallas=os.environ.get("LMD_PALLAS", "auto"),
         )

@@ -188,9 +188,18 @@ def beam_search(
     k: int,
     max_visits: int = 0,
     beam_width: int = 1,
+    allowed: jnp.ndarray | None = None,  # bool[capacity] predicate mask
 ) -> SearchResult:
     """Batched beam search. Returns top-k and the visited set (the insert
-    path consumes visited, Searcher::SearchForInitialCandidates semantics)."""
+    path consumes visited, Searcher::SearchForInitialCandidates semantics).
+
+    ``allowed`` enables FILTERED search (the V2 design's filtered-search
+    plan, Consolidated Proposal:419): traversal routes through every node
+    (disallowed nodes still conduct the walk — excluding them would
+    disconnect the graph under selective filters), but the final top-k is
+    taken over visited AND allowed nodes only. This is the filtered-DiskANN
+    recipe, and strictly dominates post-filtering the k results: the
+    candidate pool is the full visited set (~max_visits rows), not k."""
     B = queries.shape[0]
     L = l_search
     E = beam_width
@@ -370,9 +379,14 @@ def beam_search(
     # Final pass: top-k = k best (exact dist, slot) among visited nodes —
     # the aTopCandidates buffer (vectordiskann.c:1091-1110) / the exact
     # re-rank of Searcher.cpp:189-245 in one deterministic sort.
+    vis_dist = final.vis_dist
+    if allowed is not None:
+        ok = allowed[jnp.maximum(final.vis_slot, 0)] & (final.vis_slot >= 0)
+        vis_dist = jnp.where(ok, vis_dist, INF)
     topk_dists, topk_slots = topk_ops.topk_by_distance(
-        final.vis_dist, final.vis_slot, k
+        vis_dist, final.vis_slot, k
     )
+    topk_slots = jnp.where(jnp.isinf(topk_dists), -1, topk_slots)
     return SearchResult(
         topk_slots=topk_slots,
         topk_dists=topk_dists,
@@ -383,7 +397,9 @@ def beam_search(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "l_insert"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "l_insert", "beam_width")
+)
 def search_for_initial_candidates(
     arrays: GraphArrays,
     queries: jnp.ndarray,
@@ -391,12 +407,16 @@ def search_for_initial_candidates(
     *,
     params: GraphParams,
     l_insert: int,
+    beam_width: int = 1,
 ) -> SearchResult:
     """Insert-path candidate search: beam search with L=k=L_insert
     (Searcher::SearchForInitialCandidates, core/Searcher.cpp:275-294).
     Visit budget defaults to 2*L_insert — a documented throughput deviation
     from libSQL's capless insert search (config.insert_max_visits raises it;
-    tests verify a raised cap never binds, so parity is capless-real)."""
+    tests verify a raised cap never binds, so parity is capless-real).
+    ``beam_width`` > 1 (batched builds, params.insert_beam_width) amortizes
+    the fixed per-hop cost over multiple visits; sequential parity inserts
+    keep the default width 1."""
     return beam_search(
         arrays,
         queries,
@@ -409,4 +429,5 @@ def search_for_initial_candidates(
             if params.insert_max_visits > 0
             else 2 * l_insert
         ),
+        beam_width=beam_width,
     )

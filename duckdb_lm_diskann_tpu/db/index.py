@@ -42,6 +42,8 @@ class LmDiskannScanState:
         self.row_ids: np.ndarray | None = None  # filled on first Scan
         self.distances: np.ndarray | None = None
         self.offset = 0
+        # Filtered-search pushdown: restrict results to these row ids.
+        self.allowed_rowids: np.ndarray | None = None
 
     @property
     def exhausted(self) -> bool:
@@ -171,7 +173,11 @@ class LmDiskannIndex:
     # --- scan surface (InitializeScan/Scan, :639-724) ---
 
     def initialize_scan(
-        self, query: np.ndarray, k: int, l_search: int | None = None
+        self,
+        query: np.ndarray,
+        k: int,
+        l_search: int | None = None,
+        allowed_rowids: np.ndarray | None = None,
     ) -> LmDiskannScanState:
         query = np.asarray(query, np.float32).reshape(-1)
         if query.shape[0] != self.config.dimensions:
@@ -179,7 +185,9 @@ class LmDiskannIndex:
                 f"query dimension {query.shape[0]} != index dimension "
                 f"{self.config.dimensions}"
             )
-        return LmDiskannScanState(query, k, l_search)
+        state = LmDiskannScanState(query, k, l_search)
+        state.allowed_rowids = allowed_rowids
+        return state
 
     def scan(self, state: LmDiskannScanState, max_rows: int = 2048) -> np.ndarray:
         """Drain up to max_rows result row ids (Scan, :677-724)."""
@@ -188,7 +196,10 @@ class LmDiskannIndex:
                 self.config.l_search, state.l_search
             )
             ids, dists = self.coordinator.search(
-                state.query[None, :], state.k, l_search=L
+                state.query[None, :],
+                state.k,
+                l_search=L,
+                allowed_rowids=state.allowed_rowids,
             )
             keep = ids[0] >= 0
             state.row_ids = ids[0][keep]

@@ -386,7 +386,20 @@ def execute(plan: LogicalOp) -> dict:
 
     if isinstance(plan, LogicalIndexScan):
         # hnsw_index_scan: InitializeScan -> Scan -> table.Fetch
-        state = plan.index.initialize_scan(plan.query, plan.limit)
+        allowed = None
+        if plan.residual_filter is not None and plan.index.settings.get_option(
+            "lm_diskann_filter_pushdown"
+        ):
+            # Filtered-search pushdown (V2 design): evaluate the predicate
+            # over the table once and let the engine take its top-k over
+            # visited-and-allowed rows. The post-filter below stays as the
+            # correctness backstop (and is what runs with pushdown off —
+            # the reference's pull-up-only behavior).
+            all_ids = plan.table.row_ids
+            allowed = all_ids[plan.residual_filter(plan.table, all_ids)]
+        state = plan.index.initialize_scan(
+            plan.query, plan.limit, allowed_rowids=allowed
+        )
         ids = plan.index.scan(state, max_rows=plan.limit)
         dists = state.distances[: len(ids)]
         if plan.residual_filter is not None:

@@ -19,6 +19,12 @@ _DEFAULTS: dict[str, object] = {
     # Persistence is first-class here (not experimental), but the switch is
     # honored for compatibility: False disables checkpoint-on-commit.
     "lm_diskann_enable_persistence": True,
+    # Filtered-search pushdown (V2 design, Consolidated Proposal:419): push
+    # residual row predicates into the scan so the top-k is taken over
+    # visited-and-allowed rows instead of post-filtering k results. OFF
+    # reproduces the reference's pull-up-only behavior (fewer-than-k
+    # results under selective filters, hnsw_optimize_scan.cpp:160-200).
+    "lm_diskann_filter_pushdown": True,
 }
 
 

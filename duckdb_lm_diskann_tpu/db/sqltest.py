@@ -112,17 +112,29 @@ class MiniSql:
             return []
 
         m = re.match(
-            r"select\s+(\w+)\s+from\s+(\w+)\s+order\s+by\s+(\w+)\s*\(\s*(\w+)\s*,"
+            r"select\s+(\w+)\s+from\s+(\w+)"
+            r"(?:\s+where\s+(\w+)\s*=\s*(-?\d+))?"
+            r"\s+order\s+by\s+(\w+)\s*\(\s*(\w+)\s*,"
             r"\s*(\[[^\]]*\])\s*\)\s*(?:asc\s*)?limit\s+(\d+)\s*$",
             low, re.S,
         )
         if m:
-            out_col, tname, fn, vcol, qtext, k = m.groups()
+            out_col, tname, wcol, wval, fn, vcol, qtext, k = m.groups()
             if fn not in _DIST_FUNCS:
                 raise SqlTestError(f"unsupported distance function {fn}")
+            flt = None
+            if wcol is not None:
+                # WHERE col = const above the TopN: becomes the residual
+                # filter the optimizer pulls up / pushes down
+                # (hnsw_optimize_scan.cpp:160-200 + filtered search).
+                want = int(wval)
+
+                def flt(table, rowids, _c=wcol, _v=want):
+                    return np.asarray(table.fetch(rowids, _c)) == _v
+
             res = self.db.knn(
                 tname, vcol, _parse_vector(qtext), int(k),
-                metric=_DIST_FUNCS[fn],
+                metric=_DIST_FUNCS[fn], filter=flt,
             )
             t = self.db.tables[tname]
             if out_col == "rowid":

@@ -58,6 +58,7 @@ def _config_to_dict(config: LmDiskannConfig) -> dict:
         "edge_type": config.resolve_edge_type().value,
         "max_visits": config.max_visits,
         "insert_max_visits": config.insert_max_visits,
+        "insert_beam_width": config.insert_beam_width,
     }
 
 
@@ -73,6 +74,7 @@ def _config_from_dict(d: dict) -> LmDiskannConfig:
         edge_type=EdgeType.parse(d["edge_type"]),
         max_visits=int(d.get("max_visits", 0)),
         insert_max_visits=int(d.get("insert_max_visits", 0)),
+        insert_beam_width=int(d.get("insert_beam_width", 4)),
     )
 
 

@@ -51,3 +51,8 @@ def test_statement_error_expectation(tmp_path):
 def test_int8_sqllogic_file():
     n = run_sqllogic_file(Path(__file__).parent / "sql" / "int8.sql.test")
     assert n >= 8
+
+
+def test_filtered_sqllogic_file():
+    n = run_sqllogic_file(Path(__file__).parent / "sql" / "filtered.sql.test")
+    assert n >= 7
