@@ -187,12 +187,15 @@ class LmDiskannConfig:
     insert_max_visits: int = 0  # 0 -> resolved to 2 * l_insert
     # Beam width of the INSERT-path candidate search in BATCHED builds (the
     # classic DiskANN beam-width generalization): each while_loop iteration
-    # visits this many nodes, amortizing the fixed per-hop cost (gather
-    # issue + beam merge) over W visits. Sequential (batch-1) inserts always
-    # run width 1 for exact libSQL visit-order parity; batched builds are
-    # already a documented parallel-construction deviation, and the insert
-    # search is the dominant build cost.
-    insert_beam_width: int = 4
+    # visits this many nodes. Measured on TPU v5e (100k x 128d, batch 1024):
+    # width 4 builds 2x SLOWER than width 1 — per-iteration cost grows with
+    # W*R (candidate merge + beam membership masks) faster than the
+    # iteration count shrinks, because whole-batch iterations already
+    # amortize fixed overheads at B=1024. Default 1; kept configurable for
+    # small-batch / low-latency insert workloads where per-hop overhead
+    # dominates. Sequential (batch-1) inserts always run width 1 for exact
+    # libSQL visit-order parity.
+    insert_beam_width: int = 1
     # Keys the user passed explicitly in WITH (...) — lets the load path
     # distinguish "user demanded r=8" from "r defaulted to 64" when checking
     # options against a persisted config (reopen must not silently change

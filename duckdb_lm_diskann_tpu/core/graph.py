@@ -92,7 +92,7 @@ class GraphParams:
     # Beam width of the insert-path search in BATCHED builds (sequential
     # batch-1 inserts pin width 1 for libSQL visit-order parity); see
     # LmDiskannConfig.insert_beam_width.
-    insert_beam_width: int = 4
+    insert_beam_width: int = 1
     # Node-vector storage dtype. INT8 (ARRAY(TINYINT, N) columns) keeps the
     # device array in int8 — 4x less HBM and visit-gather bandwidth — and
     # widens to f32 in-register at distance time, the real version of the

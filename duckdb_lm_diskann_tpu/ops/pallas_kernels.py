@@ -40,14 +40,24 @@ def _on_tpu() -> bool:
 def dispatch_mode(force: str | None = None) -> str | None:
     """Trace-time kernel dispatch: 'compiled', 'interpret', or None (use the
     jnp fallback). Mirrors ResolveKernel/GetDotKernel runtime dispatch
-    (ternary_quantization.hpp:562-602).
+    (ternary_quantization.hpp:562-602) — and like the reference's dispatch,
+    "auto" picks the empirically fastest backend for the hardware.
+
+    Measured on TPU v5e (engine-level QPS, batch 1024, exclusive chip):
+    the plain-XLA jnp forms beat these per-row-grid Pallas kernels on every
+    edge type — INT4 128d L2: 10.3k vs 8.7k qps; TERNARY 960d cosine: 6.8k
+    vs 4.5k qps. One [1, R, ...] row DMA per grid step cannot keep enough
+    fetches in flight; XLA's native gather pipelines the whole [B] batch.
+    So "auto" resolves to the jnp path everywhere until a deeper-pipelined
+    kernel (manual multi-row async_copy) beats it; bench.py re-measures
+    both on every run (qps_pallas / qps_xla).
 
     ``force`` (usually GraphParams.pallas, seeded from the LMD_PALLAS env
-    var): "auto" = compiled on TPU, jnp elsewhere; "1" = compiled on TPU,
-    interpreter elsewhere (tests exercise the kernel code path on CPU);
-    "interpret" = always interpreter; "0" = always the jnp fallback."""
+    var): "auto" = fastest (currently jnp); "1" = fused Pallas kernels —
+    compiled on TPU, interpreter elsewhere (tests exercise the kernel code
+    path on CPU); "interpret" = always interpreter; "0" = always jnp."""
     mode = force if force is not None else os.environ.get("LMD_PALLAS", "auto")
-    if mode == "0":
+    if mode in ("0", "auto"):
         return None
     if mode == "interpret":
         return "interpret"

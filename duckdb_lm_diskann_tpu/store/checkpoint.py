@@ -74,7 +74,7 @@ def _config_from_dict(d: dict) -> LmDiskannConfig:
         edge_type=EdgeType.parse(d["edge_type"]),
         max_visits=int(d.get("max_visits", 0)),
         insert_max_visits=int(d.get("insert_max_visits", 0)),
-        insert_beam_width=int(d.get("insert_beam_width", 4)),
+        insert_beam_width=int(d.get("insert_beam_width", 1)),
     )
 
 
