@@ -623,7 +623,15 @@ def insert_batch(
     trigger a multi-second XLA compile of the search loop).
     """
     M = len(new_slots)
-    pad = (pad_to or _pow2_at_least(M)) - M
+    # Floor the padded shape at 64 (except the special M==1 parity path):
+    # each distinct padded shape is a full XLA compile of the insert
+    # program — minutes per shape at 1M-slot tables on a remote-compile
+    # backend — while the masked dummy rows cost microseconds of MXU time.
+    # Ramp shapes become {1, 64, 128, ..., max_batch} instead of every pow2.
+    pad_to = pad_to or _pow2_at_least(M)
+    if M > 1:
+        pad_to = max(pad_to, 64)
+    pad = pad_to - M
     new_slots = np.concatenate(
         [np.asarray(new_slots, np.int32), np.full(pad, -1, np.int32)]
     )
