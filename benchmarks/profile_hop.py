@@ -1,0 +1,328 @@
+"""Profiling harness for the beam-search hop body at 1M scale.
+
+Modes (``python benchmarks/profile_hop.py [knockout|gather]``):
+
+``knockout`` (default) — each variant runs a fixed 200-iteration fori_loop
+of a stripped hop body with one component disabled; component cost =
+full - variant. Shapes match the bench headline: B=1024, L=100, R=64,
+D=128, INT4 edges, E=1.
+
+``gather`` — gather-layout A/B inside the same in-loop harness: today's
+four separate row gathers (vectors / neighbors / int4 codes / scales) vs
+ONE combined self-contained block row u32[N, 1280] (the TPU-native
+realization of the reference's one-block-read-per-visit property,
+index_config.cpp:104-148), plus a deeply-pipelined manual-DMA Pallas
+gather with K outstanding copies. Decides whether the block layout +
+manual kernel are worth the refactor before any code changes.
+
+Methodology note: the tunneled TPU backend carries ~0.5 ms fixed dispatch
+overhead per jitted call, so standalone per-op timings are floor-limited
+and misleading; only in-loop (fori_loop, one dispatch) measurements are
+trustworthy. Run exclusively (no concurrent TPU work).
+"""
+import sys
+import time
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+sys.path.insert(0, "/root/repo")
+from duckdb_lm_diskann_tpu.ops import topk as topk_ops
+from duckdb_lm_diskann_tpu.ops.distance import pairwise_distance
+from duckdb_lm_diskann_tpu.ops.quantize import decode_int4
+from duckdb_lm_diskann_tpu.common.types import MetricType
+
+B, L, R, D = 1024, 100, 64, 128
+CAP = 1 << 20
+ITERS = 200
+metric = MetricType.L2
+V = 4 * L
+
+
+def _time_loop(run, args_list, per_iter=ITERS, reps=4):
+    _ = np.asarray(run(args_list[0]))  # compile + warm
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _ = np.asarray(run(args_list[(i + 1) % len(args_list)]))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / per_iter * 1e3  # ms per iteration
+
+
+def knockout():
+    rng = np.random.default_rng(0)
+    vectors = jnp.asarray(rng.standard_normal((CAP, D)).astype(np.float32))
+    edge_i4 = jnp.asarray(
+        rng.integers(0, 255, (CAP, R, D // 2), dtype=np.uint8)
+    )
+    edge_scale = jnp.asarray(rng.random((CAP, R)).astype(np.float32))
+    neighbors = jnp.asarray(rng.integers(0, CAP, (CAP, R), dtype=np.int32))
+    queries = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    def make_loop(*, sort=True, egather=True, vislog=True, inbeam=True,
+                  vgather=True):
+        def body(i, s):
+            beam_dist, beam_slot, beam_vis, vis_slot, vis_dist, vis_cnt = s
+            unvis = (~beam_vis) & (beam_slot >= 0)
+            idx_e = jnp.argmax(unvis, axis=-1)[:, None]
+            active_e = jnp.take_along_axis(unvis, idx_e, axis=-1)
+            cur = jnp.take_along_axis(beam_slot, idx_e, axis=-1)
+            cur = jnp.where(active_e, jnp.abs(cur) % CAP, 0)
+
+            if vgather:
+                node_vec = vectors[cur]
+                exact = pairwise_distance(
+                    queries[:, None, :], node_vec, metric)
+            else:
+                exact = beam_dist[:, :1] * 1.0001
+
+            oh = jax.nn.one_hot(idx_e, L, dtype=jnp.bool_) & active_e[:, :, None]
+            beam_vis = beam_vis | jnp.any(oh, axis=1)
+
+            if vislog:
+                order_e = jnp.cumsum(active_e.astype(jnp.int32), axis=-1) - 1
+                pos_e = jnp.where(active_e, vis_cnt[:, None] + order_e, -1)
+                at = (jnp.arange(V, dtype=jnp.int32)[None, None, :]
+                      == pos_e[:, :, None])
+                hit = jnp.any(at, axis=1)
+                slot_c = jnp.sum(jnp.where(at, cur[:, :, None], 0), axis=1)
+                dist_c = jnp.sum(
+                    jnp.where(at, exact[:, :, None], 0.0), axis=1)
+                vis_slot = jnp.where(hit, slot_c, vis_slot)
+                vis_dist = jnp.where(hit, dist_c, vis_dist)
+            else:
+                vis_slot = vis_slot.at[:, 0].add(cur[:, 0])
+                vis_dist = vis_dist.at[:, 0].add(exact[:, 0])
+            vis_cnt = vis_cnt + jnp.sum(active_e.astype(jnp.int32), axis=-1)
+
+            nbrs = neighbors[cur]  # [B, 1, R]
+            if egather:
+                packed = edge_i4[cur]          # [B, 1, R, D/2]
+                scale = edge_scale[cur]        # [B, 1, R]
+                vecs = decode_int4(packed, scale, D)
+                edge_dist = pairwise_distance(
+                    queries[:, None, None, :], vecs, metric)
+            else:
+                edge_dist = (nbrs.astype(jnp.float32) * 1e-7
+                             + exact[:, :, None])
+
+            nbrs_f = nbrs.reshape(B, R)
+            dist_f = edge_dist.reshape(B, R)
+            if inbeam:
+                in_beam = jnp.any(
+                    (nbrs_f[:, :, None] == beam_slot[:, None, :])
+                    & (beam_slot >= 0)[:, None, :], axis=-1)
+            else:
+                in_beam = nbrs_f < 0
+            cand_dist = jnp.where(in_beam, jnp.inf, dist_f)
+            cand_slot = jnp.where(in_beam, -1, nbrs_f)
+
+            if sort:
+                new_dist, new_slot, new_vis = topk_ops.merge_beams(
+                    beam_dist, beam_slot, cand_dist, cand_slot, L,
+                    extras_a=(beam_vis.astype(jnp.int32),),
+                    extras_b=(jnp.zeros_like(cand_slot),))
+                beam_vis = new_vis.astype(jnp.bool_)
+            else:
+                new_dist = jnp.minimum(beam_dist, cand_dist[:, :L] * 0.999)
+                new_slot = jnp.where(new_dist < beam_dist,
+                                     cand_slot[:, :L], beam_slot)
+            new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)
+            return (new_dist, new_slot, beam_vis, vis_slot, vis_dist,
+                    vis_cnt)
+
+        @jax.jit
+        def run(seed_slot):
+            beam_dist = jnp.concatenate(
+                [jnp.zeros((B, 1)), jnp.full((B, L - 1), jnp.inf)], axis=-1)
+            beam_slot = jnp.concatenate(
+                [seed_slot[:, None], jnp.full((B, L - 1), -1, jnp.int32)],
+                axis=-1)
+            s = (beam_dist, beam_slot, jnp.zeros((B, L), jnp.bool_),
+                 jnp.full((B, V), -1, jnp.int32), jnp.full((B, V), jnp.inf),
+                 jnp.zeros((B,), jnp.int32))
+            s = jax.lax.fori_loop(0, ITERS, body, s)
+            return s[0].sum() + s[4].sum() + s[3].sum()
+
+        return run
+
+    rng2 = np.random.default_rng(7)
+    seeds = [jnp.asarray(rng2.integers(0, CAP, B, dtype=np.int32))
+             for _ in range(8)]
+    for name, kw in [
+        ("full", {}),
+        ("-sort", dict(sort=False)),
+        ("-edgegather", dict(egather=False)),
+        ("-vislog", dict(vislog=False)),
+        ("-inbeam", dict(inbeam=False)),
+        ("-vecgather", dict(vgather=False)),
+        ("bare(min)", dict(sort=False, egather=False, vislog=False,
+                           inbeam=False, vgather=False)),
+    ]:
+        ms = _time_loop(make_loop(**kw), seeds)
+        print(f"{name:12s}: {ms:.3f} ms/hop", flush=True)
+
+
+# --------------------------------------------------------------------------
+# gather mode
+# --------------------------------------------------------------------------
+
+ROW = D + R + R + R * (D // 2) // 4  # u32 words: vec | nbrs | scales | codes
+
+
+def _pipelined_gather(idx, src, n_flight=8, interpret=False):
+    """Gather src[idx] (u32[CAP, ROW] rows) with K outstanding manual DMAs.
+
+    Rows are DMA'd straight HBM->HBM into the ANY-space output (no VMEM
+    staging — the caller's consumer reads from HBM anyway). Grid over B;
+    step i waits the copy for row i (issued K steps earlier, or in the
+    step-0 warmup) and reissues its semaphore slot for row i+K, keeping K
+    copies in flight throughout.
+    """
+    K = n_flight
+    Bn = idx.shape[0]
+
+    def kernel(idx_ref, src_ref, out_ref, sems):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _warmup():
+            for j in range(min(K, Bn)):
+                pltpu.make_async_copy(
+                    src_ref.at[idx_ref[j]], out_ref.at[j], sems.at[j % K]
+                ).start()
+
+        slot = jax.lax.rem(i, K)
+        pltpu.make_async_copy(
+            src_ref.at[idx_ref[i]], out_ref.at[i], sems.at[slot]
+        ).wait()
+
+        nxt = i + K
+
+        @pl.when(nxt < Bn)
+        def _reissue():
+            pltpu.make_async_copy(
+                src_ref.at[idx_ref[nxt]], out_ref.at[nxt], sems.at[slot]
+            ).start()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bn,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, src.shape[1]), jnp.uint32),
+        interpret=interpret,
+    )(idx, src)
+
+
+def gather_ab():
+    global pl, pltpu
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    vectors = jnp.asarray(rng.standard_normal((CAP, D)).astype(np.float32))
+    edge_i4 = jnp.asarray(
+        rng.integers(0, 255, (CAP, R, D // 2), dtype=np.uint8)
+    )
+    edge_scale = jnp.asarray(rng.random((CAP, R)).astype(np.float32))
+    neighbors = jnp.asarray(rng.integers(0, CAP, (CAP, R), dtype=np.int32))
+
+    # Combined self-contained block rows, u32[CAP, ROW].
+    def build_combined():
+        import numpy as onp
+        vec_u32 = onp.asarray(vectors).view(onp.uint32)
+        nbr_u32 = onp.asarray(neighbors).view(onp.uint32)
+        sc_u32 = onp.asarray(edge_scale).view(onp.uint32)
+        codes_u32 = (
+            onp.asarray(edge_i4).reshape(CAP, -1).view(onp.uint32)
+        )
+        return jnp.asarray(
+            onp.concatenate([vec_u32, nbr_u32, sc_u32, codes_u32], axis=1)
+        )
+
+    combined = build_combined()
+    print(f"tables resident: combined {combined.nbytes/2**30:.2f} GiB "
+          f"+ separate {(vectors.nbytes+edge_i4.nbytes+edge_scale.nbytes+neighbors.nbytes)/2**30:.2f} GiB",
+          flush=True)
+
+    def harness(gather_sum):
+        """idx -> scalar per row; chains iterations through the result."""
+        def body(i, c):
+            idx, acc = c
+            s = gather_sum(idx)  # u32[B] dependent on the gathered bytes
+            nidx = (idx + s.astype(jnp.int32) + i) & (CAP - 1)
+            return (jnp.abs(nidx), acc + jnp.sum(s))
+
+        @jax.jit
+        def run(seed):
+            out = jax.lax.fori_loop(0, ITERS, body, (seed, jnp.uint32(0)))
+            return out[1]
+
+        return run
+
+    def sep4_sum(idx):
+        a = jnp.sum(vectors[idx].view(jnp.uint32), axis=-1)
+        b = jnp.sum(neighbors[idx].view(jnp.uint32), axis=-1)
+        c = jnp.sum(
+            edge_i4[idx].reshape(B, -1).astype(jnp.uint32), axis=-1)
+        d = jnp.sum(edge_scale[idx].view(jnp.uint32), axis=-1)
+        return a + b + c + d
+
+    def comb1_sum(idx):
+        return jnp.sum(combined[idx], axis=-1)
+
+    def vec_only_sum(idx):
+        return jnp.sum(vectors[idx].view(jnp.uint32), axis=-1)
+
+    def codes_only_sum(idx):
+        return jnp.sum(
+            edge_i4[idx].reshape(B, -1).astype(jnp.uint32), axis=-1)
+
+    variants = [
+        ("sep4 (today)", sep4_sum),
+        ("combined x1", comb1_sum),
+        ("vec only", vec_only_sum),
+        ("codes only", codes_only_sum),
+    ]
+    for K in (4, 8, 16):
+        variants.append(
+            (f"pallas K={K}",
+             functools.partial(
+                 lambda idx, K: jnp.sum(
+                     _pipelined_gather(idx, combined, n_flight=K), axis=-1),
+                 K=K))
+        )
+
+    rng2 = np.random.default_rng(7)
+    seeds = [jnp.asarray(rng2.integers(0, CAP, B, dtype=np.int32))
+             for _ in range(8)]
+    # Correctness check of the pipelined kernel before timing.
+    got = np.asarray(_pipelined_gather(seeds[0], combined))
+    want = np.asarray(combined[seeds[0]])
+    assert np.array_equal(got, want), "pipelined gather mismatch"
+    print("pallas pipelined gather: correct", flush=True)
+
+    for name, fn in variants:
+        ms = _time_loop(harness(fn), seeds)
+        us_per_row = ms * 1e3 / B
+        print(f"{name:14s}: {ms:.3f} ms/iter ({us_per_row*1e3:.0f} ns/row)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "knockout"
+    if mode == "gather":
+        gather_ab()
+    else:
+        knockout()
