@@ -78,7 +78,11 @@ def _config_from_dict(d: dict) -> LmDiskannConfig:
     )
 
 
-def save_index(coord: Coordinator, directory: str | os.PathLike) -> dict:
+def save_index(
+    coord: Coordinator,
+    directory: str | os.PathLike,
+    chunk_bytes: int = 64 << 20,
+) -> dict:
     """Two-phase checkpoint of a Coordinator into an index directory
     (the per-index directory the reference creates as
     ``<db>.lmd_idx/<index>/``, db/LmDiskannIndex.cpp:165-235).
@@ -118,66 +122,87 @@ def save_index(coord: Coordinator, directory: str | os.PathLike) -> dict:
         else:
             idx = np.arange(hw, dtype=np.int64)
 
-        # Device -> host: gather only the rows being written.
-        if incremental:
-            idx_d = jnp.asarray(idx, jnp.int32)
-
-            def pull(a):
-                return np.asarray(a[idx_d])
-        else:
-
-            def pull(a):
-                return np.asarray(a[:hw])
-
-        vectors = pull(arrays.vectors)
-        neighbors = pull(arrays.neighbors)  # slots
-        valid = pull(arrays.valid)
-        # slot -> rowid for neighbor serialization; dead targets -> sentinel.
         slot_rowids = coord._slot_rowids
-        nbr_rowids = np.where(
-            neighbors >= 0,
-            slot_rowids[np.maximum(neighbors, 0)],
-            np.int64(INVALID_ROW_ID),
-        )
-        # valid-masked: blocks of dead slots serialize zeroed.
-        nbr_rowids = np.where(valid[:, None], nbr_rowids, np.int64(INVALID_ROW_ID))
-        kw = {}
         et = coord.params.edge_type
-        if et is EdgeType.TERNARY:
-            kw["edge_pos"] = pull(arrays.edge_pos)
-            kw["edge_neg"] = pull(arrays.edge_neg)
-        elif et is EdgeType.INT8:
-            kw["edge_i8"] = pull(arrays.edge_i8)
-            kw["edge_scale"] = pull(arrays.edge_scale)
-        elif et is EdgeType.INT4:
-            kw["edge_i4"] = pull(arrays.edge_i4)
-            kw["edge_scale"] = pull(arrays.edge_scale)
-        elif et is EdgeType.FLOAT32:
-            kw["edge_f32"] = pull(arrays.edge_f32)
-        if len(idx):
+
+        def encode_chunk(sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Device -> host pull + block encode + CRC for one chunk of
+            slot indices (contiguous ranges pull by slice)."""
+            contiguous = len(sel) and sel[0] + len(sel) - 1 == sel[-1] and (
+                not incremental
+            )
+            if contiguous:
+                lo, hi = int(sel[0]), int(sel[-1]) + 1
+
+                def pull(a):
+                    return np.asarray(a[lo:hi])
+            else:
+                sel_d = jnp.asarray(sel, jnp.int32)
+
+                def pull(a):
+                    return np.asarray(a[sel_d])
+
+            vectors = pull(arrays.vectors)
+            neighbors = pull(arrays.neighbors)  # slots
+            valid = pull(arrays.valid)
+            # slot -> rowid for neighbor serialization; dead -> sentinel.
+            nbr_rowids = np.where(
+                neighbors >= 0,
+                slot_rowids[np.maximum(neighbors, 0)],
+                np.int64(INVALID_ROW_ID),
+            )
+            # valid-masked: blocks of dead slots serialize zeroed.
+            nbr_rowids = np.where(
+                valid[:, None], nbr_rowids, np.int64(INVALID_ROW_ID)
+            )
+            kw = {}
+            if et is EdgeType.TERNARY:
+                kw["edge_pos"] = pull(arrays.edge_pos)
+                kw["edge_neg"] = pull(arrays.edge_neg)
+            elif et is EdgeType.INT8:
+                kw["edge_i8"] = pull(arrays.edge_i8)
+                kw["edge_scale"] = pull(arrays.edge_scale)
+            elif et is EdgeType.INT4:
+                kw["edge_i4"] = pull(arrays.edge_i4)
+                kw["edge_scale"] = pull(arrays.edge_scale)
+            elif et is EdgeType.FLOAT32:
+                kw["edge_f32"] = pull(arrays.edge_f32)
             blocks = encode_blocks(coord.config, vectors, nbr_rowids, **kw)
             blocks[~valid] = 0
-            checksums = bf.crc32_rows(blocks)
-        else:
-            blocks = np.empty((0, layout.block_size), np.uint8)
-            checksums = np.empty(0, np.uint32)
+            return blocks, bf.crc32_rows(blocks)
 
-        # Phase 0: stage the intended checksums (before any block write).
+        # Pipelined two-phase write (the V2 flush-daemon design,
+        # Consolidated Proposal:96-107): per chunk — stage its CRCs, then
+        # hand the blocks to the store's background writer thread and start
+        # pulling/encoding the next chunk while the previous one hits disk.
+        # Crash safety is per block: every block on disk matches either its
+        # committed (old) or staged (new) CRC at all times, so staging
+        # chunk-by-chunk preserves the recovery invariant.
         shadow.clear_staged_checksums()
-        shadow.stage_checksums(idx, checksums)
-
-        # Phase 1: write + fsync graph.lmd.
         bf.mark_dirty(True)
-        if incremental:
-            if len(idx):
-                bf.write_blocks_at(idx, blocks)
-            if bf.num_blocks < hw:
-                bf.truncate(hw)  # slots allocated but never written stay 0
-        else:
+        if not incremental:
             bf.truncate(hw)
-            if hw:
-                bf.write_blocks(0, blocks)
-        bf.sync()
+        checksums_all: list[np.ndarray] = []
+        chunk_rows = max(1, chunk_bytes // layout.block_size)
+        for lo in range(0, len(idx), chunk_rows):
+            sel = idx[lo : lo + chunk_rows]
+            blocks, crc = encode_chunk(sel)
+            checksums_all.append(crc)
+            shadow.stage_checksums(sel, crc)
+            if incremental:
+                bf.submit_write_at(sel, blocks)
+            else:
+                bf.submit_write(int(sel[0]), blocks)
+        if incremental and bf.num_blocks < hw:
+            # Queue order keeps this after all scattered writes.
+            bf.flush_wait(bf.submit_sync())
+            bf.truncate(hw)  # slots allocated but never written stay 0
+        bf.flush_wait(bf.submit_sync())
+        checksums = (
+            np.concatenate(checksums_all)
+            if checksums_all
+            else np.empty(0, np.uint32)
+        )
 
         # Phase 2: transactional shadow commit (clears delta log + staged).
         shadow.commit_checkpoint(

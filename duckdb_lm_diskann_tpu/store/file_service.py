@@ -40,7 +40,7 @@ def build_native(force: bool = False) -> Path | None:
             return _SO_PATH
     try:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+            ["g++", "-O2", "-fPIC", "-shared", "-std=c++17", "-pthread",
              str(src), "-o", str(_SO_PATH)],
             check=True, capture_output=True, timeout=120,
         )
@@ -90,6 +90,21 @@ def _load_lib():
     lib.bs_mark_dirty.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.bs_clean_shutdown.restype = ctypes.c_int
     lib.bs_clean_shutdown.argtypes = [ctypes.c_void_p]
+    lib.bs_submit_write.restype = ctypes.c_uint64
+    lib.bs_submit_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_char_p]
+    lib.bs_submit_write_at.restype = ctypes.c_uint64
+    lib.bs_submit_write_at.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.c_char_p]
+    lib.bs_submit_sync.restype = ctypes.c_uint64
+    lib.bs_submit_sync.argtypes = [ctypes.c_void_p]
+    lib.bs_job_wait.restype = ctypes.c_int
+    lib.bs_job_wait.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.bs_async_pending.restype = ctypes.c_uint64
+    lib.bs_async_pending.argtypes = [ctypes.c_void_p]
+    lib.bs_async_error.restype = ctypes.c_int
+    lib.bs_async_error.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -173,6 +188,36 @@ class NativeBlockFile:
     @property
     def clean_shutdown(self) -> bool:
         return bool(self._lib.bs_clean_shutdown(self._h))
+
+    # -- async flush (background writer thread in the native store; the V2
+    #    flush-daemon design, Consolidated Proposal:96-107). Jobs copy
+    #    their payload, run strictly in submission order, and the first
+    #    failure is sticky (fail-stop). Do not mix with synchronous writes
+    #    while jobs are pending; ``flush_wait`` drains the pipeline.
+
+    def submit_write(self, first_idx: int, blocks: np.ndarray) -> int:
+        blocks = np.ascontiguousarray(blocks, np.uint8)
+        return self._lib.bs_submit_write(
+            self._h, first_idx, blocks.shape[0],
+            blocks.ctypes.data_as(ctypes.c_char_p))
+
+    def submit_write_at(self, indices: np.ndarray, blocks: np.ndarray) -> int:
+        blocks = np.ascontiguousarray(blocks, np.uint8)
+        idx = np.ascontiguousarray(indices, np.uint64)
+        return self._lib.bs_submit_write_at(
+            self._h, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            len(idx), blocks.ctypes.data_as(ctypes.c_char_p))
+
+    def submit_sync(self) -> int:
+        return self._lib.bs_submit_sync(self._h)
+
+    def flush_wait(self, job_id: int) -> None:
+        rc = self._lib.bs_job_wait(self._h, job_id)
+        if rc != 0:
+            raise IOError(f"async flush failed rc={rc}")
+
+    def async_pending(self) -> int:
+        return self._lib.bs_async_pending(self._h)
 
     def close(self) -> None:
         if self._h:
@@ -274,9 +319,94 @@ class PyBlockFile:
     def clean_shutdown(self) -> bool:
         return bool(self.clean)
 
+    # -- async flush fallback: one daemon writer thread + bounded queue,
+    #    same ordering/fail-stop semantics as the native engine.
+
+    _MAX_QUEUE_BYTES = 256 << 20
+
+    def _ensure_async(self):
+        if getattr(self, "_aq", None) is None:
+            import queue
+            import threading
+
+            self._aq = queue.Queue()
+            self._a_err = None
+            self._a_done = 0
+            self._a_next = 1
+            self._a_cv = threading.Condition()
+            self._a_budget = self._MAX_QUEUE_BYTES
+
+            def worker():
+                while True:
+                    item = self._aq.get()
+                    if item is None:
+                        return
+                    job_id, fn, nbytes = item
+                    try:
+                        if self._a_err is None:
+                            fn()
+                    except Exception as exc:  # sticky fail-stop
+                        if self._a_err is None:
+                            self._a_err = exc
+                    with self._a_cv:
+                        self._a_done = job_id
+                        self._a_budget += nbytes
+                        self._a_cv.notify_all()
+
+            self._a_thread = threading.Thread(target=worker, daemon=True)
+            self._a_thread.start()
+
+    def _submit(self, fn, nbytes: int) -> int:
+        self._ensure_async()
+        with self._a_cv:
+            while self._a_budget < nbytes and self._a_done < self._a_next - 1:
+                self._a_cv.wait()
+            job_id = self._a_next
+            self._a_next += 1
+            self._a_budget -= nbytes
+        self._aq.put((job_id, fn, nbytes))
+        return job_id
+
+    def submit_write(self, first_idx: int, blocks: np.ndarray) -> int:
+        blocks = np.ascontiguousarray(blocks, np.uint8).copy()
+        return self._submit(
+            lambda: self.write_blocks(first_idx, blocks), blocks.nbytes)
+
+    def submit_write_at(self, indices, blocks: np.ndarray) -> int:
+        blocks = np.ascontiguousarray(blocks, np.uint8).copy()
+        idx = np.asarray(indices).copy()
+        return self._submit(
+            lambda: self.write_blocks_at(idx, blocks), blocks.nbytes)
+
+    def submit_sync(self) -> int:
+        return self._submit(self.sync, 0)
+
+    def flush_wait(self, job_id: int) -> None:
+        if getattr(self, "_aq", None) is None:
+            return
+        with self._a_cv:
+            while self._a_done < job_id:
+                self._a_cv.wait()
+        if self._a_err is not None:
+            raise IOError(f"async flush failed: {self._a_err}")
+
+    def async_pending(self) -> int:
+        if getattr(self, "_aq", None) is None:
+            return 0
+        with self._a_cv:
+            return (self._a_next - 1) - self._a_done
+
     def close(self) -> None:
         # Leaves the clean flag untouched (see blockstore.cpp bs_close):
         # only mark_dirty(False) after a committed checkpoint marks clean.
+        if getattr(self, "_aq", None) is not None:
+            try:
+                self.flush_wait(self._a_next - 1)  # drain
+            except IOError:
+                pass  # close never raises; the dirty flag records the state
+            self._aq.put(None)
+            self._a_thread.join()
+            self._aq = None
         if self._f:
             self._f.flush()
             self._f.close()

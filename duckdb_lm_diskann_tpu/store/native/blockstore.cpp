@@ -17,9 +17,15 @@
 // call so Python overhead is O(1) per checkpoint, not O(blocks).
 
 #include <cerrno>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <thread>
+#include <vector>
 
 #if defined(_WIN32)
 #error "POSIX only"
@@ -43,9 +49,48 @@ struct Header {
   uint32_t reserved;
 };
 
+// --- Async flush engine -----------------------------------------------------
+// The V2 design's background flush daemon (Consolidated Proposal:96-107):
+// a per-store writer thread draining a bounded FIFO of write jobs, so the
+// caller overlaps block encoding / CRC / device pulls with disk I/O.
+// Jobs copy their payload (bounded by kMaxQueueBytes back-pressure), are
+// executed strictly in submission order, and the first failure latches an
+// error code returned by every subsequent wait (fail-stop semantics: the
+// checkpoint aborts and the dirty flag keeps the file in full-rewrite mode).
+
+struct FlushJob {
+  uint64_t id;
+  bool scattered;            // use idx[] per row; else contiguous at first
+  uint64_t first = 0;
+  std::vector<uint64_t> idx;
+  std::vector<uint8_t> data; // n_blocks * block_size bytes; empty => fsync
+  uint64_t n_blocks = 0;
+};
+
+struct Store;
+int do_write_blocks(Store* s, uint64_t first_idx, uint64_t n,
+                    const uint8_t* buf);
+int do_write_blocks_at(Store* s, const uint64_t* indices, uint64_t n,
+                       const uint8_t* buf);
+
+struct AsyncEngine {
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv_submit;  // queue has room / shutdown
+  std::condition_variable cv_done;    // job completed
+  std::deque<std::unique_ptr<FlushJob>> q;
+  uint64_t next_id = 1;
+  uint64_t completed_id = 0;  // all jobs <= this id are done
+  size_t queued_bytes = 0;
+  int error = 0;      // first failure, sticky until bs_async_reset
+  bool stopping = false;
+  static constexpr size_t kMaxQueueBytes = 256ull << 20;
+};
+
 struct Store {
   int fd = -1;
   Header hdr{};
+  std::unique_ptr<AsyncEngine> async_;  // created on first async submit
 };
 
 // CRC32 (IEEE 802.3 polynomial, table-driven).
@@ -117,6 +162,105 @@ off_t block_offset(const Store* s, uint64_t idx) {
   return (off_t)kHeaderSize + (off_t)idx * s->hdr.block_size;
 }
 
+int do_write_blocks(Store* s, uint64_t first_idx, uint64_t n,
+                    const uint8_t* buf) {
+  size_t bytes = (size_t)n * s->hdr.block_size;
+  int rc = full_pwrite(s->fd, buf, bytes, block_offset(s, first_idx));
+  if (rc != 0) return rc;
+  if (first_idx + n > s->hdr.num_blocks) {
+    s->hdr.num_blocks = first_idx + n;
+    if (!write_header(s)) return -EIO;
+  }
+  return 0;
+}
+
+int do_write_blocks_at(Store* s, const uint64_t* indices, uint64_t n,
+                       const uint8_t* buf) {
+  uint64_t max_idx = 0;
+  for (uint64_t i = 0; i < n; ++i) {
+    int rc = full_pwrite(s->fd, buf + (size_t)i * s->hdr.block_size,
+                         s->hdr.block_size, block_offset(s, indices[i]));
+    if (rc != 0) return rc;
+    if (indices[i] > max_idx) max_idx = indices[i];
+  }
+  if (n && max_idx + 1 > s->hdr.num_blocks) {
+    s->hdr.num_blocks = max_idx + 1;
+    if (!write_header(s)) return -EIO;
+  }
+  return 0;
+}
+
+void async_worker(Store* s) {
+  AsyncEngine* e = s->async_.get();
+  for (;;) {
+    std::unique_ptr<FlushJob> job;
+    {
+      std::unique_lock<std::mutex> lk(e->mu);
+      e->cv_submit.wait(lk, [&] { return e->stopping || !e->q.empty(); });
+      if (e->q.empty()) return;  // stopping and drained
+      job = std::move(e->q.front());
+      e->q.pop_front();
+      e->queued_bytes -= job->data.size();
+    }
+    e->cv_submit.notify_all();  // queue freed room
+    int rc = 0;
+    if (e->error == 0) {  // fail-stop: skip work after first error
+      if (job->data.empty()) {
+        rc = fsync(s->fd) == 0 ? 0 : -errno;
+      } else if (job->scattered) {
+        rc = do_write_blocks_at(s, job->idx.data(), job->n_blocks,
+                                job->data.data());
+      } else {
+        rc = do_write_blocks(s, job->first, job->n_blocks, job->data.data());
+      }
+    }
+    {
+      std::lock_guard<std::mutex> lk(e->mu);
+      if (rc != 0 && e->error == 0) e->error = rc;
+      e->completed_id = job->id;
+    }
+    e->cv_done.notify_all();
+  }
+}
+
+AsyncEngine* ensure_engine(Store* s) {
+  if (!s->async_) {
+    s->async_ = std::make_unique<AsyncEngine>();
+    s->async_->worker = std::thread(async_worker, s);
+  }
+  return s->async_.get();
+}
+
+// Enqueue a job (copies buf); blocks while the queue is over budget.
+uint64_t submit_job(Store* s, std::unique_ptr<FlushJob> job) {
+  AsyncEngine* e = ensure_engine(s);
+  std::unique_lock<std::mutex> lk(e->mu);
+  size_t sz = job->data.size();
+  e->cv_submit.wait(lk, [&] {
+    return e->queued_bytes + sz <= AsyncEngine::kMaxQueueBytes ||
+           e->q.empty();
+  });
+  job->id = e->next_id++;
+  uint64_t id = job->id;
+  e->queued_bytes += sz;
+  e->q.push_back(std::move(job));
+  lk.unlock();
+  e->cv_submit.notify_all();
+  return id;
+}
+
+void stop_engine(Store* s) {
+  if (!s->async_) return;
+  AsyncEngine* e = s->async_.get();
+  {
+    std::lock_guard<std::mutex> lk(e->mu);
+    e->stopping = true;
+  }
+  e->cv_submit.notify_all();
+  if (e->worker.joinable()) e->worker.join();
+  s->async_.reset();
+}
+
 }  // namespace
 
 extern "C" {
@@ -168,6 +312,7 @@ void* bs_open(const char* path, uint32_t block_size, int create) {
 int bs_close(void* h) {
   Store* s = (Store*)h;
   if (!s) return -1;
+  stop_engine(s);  // drain pending async jobs before the final fsync
   fsync(s->fd);
   int rc = ::close(s->fd);
   delete s;
@@ -189,33 +334,78 @@ int bs_truncate(void* h, uint64_t num_blocks) {
 // Write n contiguous blocks starting at first_idx from buf (n * block_size
 // bytes). Extends the file as needed.
 int bs_write_blocks(void* h, uint64_t first_idx, uint64_t n, const uint8_t* buf) {
-  Store* s = (Store*)h;
-  size_t bytes = (size_t)n * s->hdr.block_size;
-  int rc = full_pwrite(s->fd, buf, bytes, block_offset(s, first_idx));
-  if (rc != 0) return rc;
-  if (first_idx + n > s->hdr.num_blocks) {
-    s->hdr.num_blocks = first_idx + n;
-    if (!write_header(s)) return -EIO;
-  }
-  return 0;
+  return do_write_blocks((Store*)h, first_idx, n, buf);
 }
 
 // Scattered write: indices[i] gives the block index of buf row i.
 int bs_write_blocks_at(void* h, const uint64_t* indices, uint64_t n,
                        const uint8_t* buf) {
+  return do_write_blocks_at((Store*)h, indices, n, buf);
+}
+
+// --- Async flush API (background writer thread; see AsyncEngine above) -----
+// Contract: while async jobs are pending, do not issue synchronous writes
+// on the same handle (jobs run strictly in submission order on the worker
+// thread). bs_job_wait(last_id) — or bs_close — drains the pipeline.
+
+// Enqueue a contiguous write; copies buf. Returns job id (>0).
+uint64_t bs_submit_write(void* h, uint64_t first_idx, uint64_t n,
+                         const uint8_t* buf) {
   Store* s = (Store*)h;
-  uint64_t max_idx = 0;
-  for (uint64_t i = 0; i < n; ++i) {
-    int rc = full_pwrite(s->fd, buf + (size_t)i * s->hdr.block_size,
-                         s->hdr.block_size, block_offset(s, indices[i]));
-    if (rc != 0) return rc;
-    if (indices[i] > max_idx) max_idx = indices[i];
-  }
-  if (n && max_idx + 1 > s->hdr.num_blocks) {
-    s->hdr.num_blocks = max_idx + 1;
-    if (!write_header(s)) return -EIO;
-  }
-  return 0;
+  auto job = std::make_unique<FlushJob>();
+  job->scattered = false;
+  job->first = first_idx;
+  job->n_blocks = n;
+  job->data.assign(buf, buf + (size_t)n * s->hdr.block_size);
+  return submit_job(s, std::move(job));
+}
+
+// Enqueue a scattered write; copies buf and indices. Returns job id (>0).
+uint64_t bs_submit_write_at(void* h, const uint64_t* indices, uint64_t n,
+                            const uint8_t* buf) {
+  Store* s = (Store*)h;
+  auto job = std::make_unique<FlushJob>();
+  job->scattered = true;
+  job->idx.assign(indices, indices + n);
+  job->n_blocks = n;
+  job->data.assign(buf, buf + (size_t)n * s->hdr.block_size);
+  return submit_job(s, std::move(job));
+}
+
+// Enqueue an fsync barrier (runs after all previously submitted jobs).
+uint64_t bs_submit_sync(void* h) {
+  auto job = std::make_unique<FlushJob>();
+  job->scattered = false;
+  job->n_blocks = 0;  // empty data => fsync
+  return submit_job((Store*)h, std::move(job));
+}
+
+// Block until job_id (and every earlier job) completes. Returns 0 or the
+// engine's first (sticky) error.
+int bs_job_wait(void* h, uint64_t job_id) {
+  Store* s = (Store*)h;
+  if (!s->async_) return 0;
+  AsyncEngine* e = s->async_.get();
+  std::unique_lock<std::mutex> lk(e->mu);
+  e->cv_done.wait(lk, [&] { return e->completed_id >= job_id; });
+  return e->error;
+}
+
+// Jobs still queued or running (0 == idle).
+uint64_t bs_async_pending(void* h) {
+  Store* s = (Store*)h;
+  if (!s->async_) return 0;
+  AsyncEngine* e = s->async_.get();
+  std::lock_guard<std::mutex> lk(e->mu);
+  return (e->next_id - 1) - e->completed_id;
+}
+
+// Sticky first error of the async engine (0 == none).
+int bs_async_error(void* h) {
+  Store* s = (Store*)h;
+  if (!s->async_) return 0;
+  std::lock_guard<std::mutex> lk(s->async_->mu);
+  return s->async_->error;
 }
 
 int bs_read_blocks(void* h, uint64_t first_idx, uint64_t n, uint8_t* buf) {

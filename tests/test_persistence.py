@@ -372,3 +372,60 @@ def test_crash_between_checkpoint_phases_recovers(tmp_path, rng, monkeypatch):
     # Recovery's save was a full rewrite (file was left dirty).
     clean = checkpoint.load_index(d)
     assert not clean.needs_recovery
+
+
+@pytest.mark.parametrize("cls", [NativeBlockFile, PyBlockFile])
+def test_async_flush_engine(tmp_path, rng, cls):
+    """Background writer thread (the V2 flush-daemon design, Consolidated
+    Proposal:96-107): submission order preserved, fsync barrier drains,
+    close drains, contents identical to synchronous writes."""
+    path = tmp_path / "graph.lmd"
+    bs = 512
+    try:
+        f = cls(path, bs)
+    except RuntimeError:
+        pytest.skip("native unavailable")
+    a = rng.integers(0, 256, (100, bs)).astype(np.uint8)
+    b = rng.integers(0, 256, (50, bs)).astype(np.uint8)
+    c = rng.integers(0, 256, (100, bs)).astype(np.uint8)
+    f.submit_write(0, a)
+    f.submit_write_at(np.arange(100, 150, dtype=np.uint64), b)
+    # Later job overwrites an earlier range -> order matters.
+    f.submit_write(0, c)
+    job = f.submit_sync()
+    f.flush_wait(job)
+    assert f.async_pending() == 0
+    got = f.read_blocks(0, 150)
+    np.testing.assert_array_equal(got[:100], c)
+    np.testing.assert_array_equal(got[100:], b)
+    # close() drains outstanding jobs.
+    f.submit_write(150, a)
+    f.close()
+    f2 = cls(path, bs)
+    np.testing.assert_array_equal(f2.read_blocks(150, 100), a)
+    assert f2.num_blocks == 250
+    f2.close()
+
+
+def test_checkpoint_multi_chunk_pipeline(tmp_path, rng):
+    """save_index with a tiny chunk budget -> many pipelined async chunks;
+    full and incremental saves both round-trip identically."""
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((120, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(120)), data)
+    d = tmp_path / "idx"
+    stats = checkpoint.save_index(coord, d, chunk_bytes=1)  # 1 block/chunk
+    assert not stats["incremental"] and stats["blocks_written"] == 120
+    loaded = checkpoint.load_index(d)
+    q = rng.standard_normal((4, cfg.dimensions)).astype(np.float32)
+    np.testing.assert_array_equal(
+        coord.search(q, 5)[0], loaded.search(q, 5)[0])
+
+    coord.insert(
+        [300], rng.standard_normal((1, cfg.dimensions)).astype(np.float32))
+    stats2 = checkpoint.save_index(coord, d, chunk_bytes=1)
+    assert stats2["incremental"] and stats2["blocks_written"] > 0
+    loaded2 = checkpoint.load_index(d)
+    np.testing.assert_array_equal(
+        coord.search(q, 5)[0], loaded2.search(q, 5)[0])
