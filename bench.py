@@ -93,6 +93,13 @@ def run_config(
     coord = Coordinator(cfg, initial_capacity=n)
     coord.bulk_build(list(range(n)), data, max_batch=1024)
     build_s = time.perf_counter() - t0
+    # Compile vs steady split: XLA compiles synchronously at dispatch, so
+    # host-call durations >1s on individual insert batches are one-time
+    # compiles (per program/shape), not build throughput. Steady-state rate
+    # excludes them — the number a warm-cache production build sees.
+    durs = [t for _, t in coord.build_timings]
+    build_compile_s = round(sum(t for t in durs if t > 1.0), 1)
+    steady_s = max(build_s - build_compile_s, 1e-9)
 
     L = max(l_search, k)
     q_dev = jnp.asarray(queries)
@@ -133,7 +140,8 @@ def run_config(
     import dataclasses
 
     forced_qps = {}
-    for forced in ("1", "0"):
+    backends = ("1", "0", "2") if edge_type == "int4" else ("1", "0")
+    for forced in backends:
         fp = dataclasses.replace(coord.params, pallas=forced)
 
         def run_batch_f(qb, _fp=fp):
@@ -254,9 +262,16 @@ def run_config(
         "edge_type": edge_type,
         "build_seconds": round(build_s, 1),
         "inserts_per_second": round(n / build_s, 1),
+        "build_compile_s": build_compile_s,
+        "inserts_per_second_steady": round(n / steady_s, 1),
         "qps": round(qps, 1),
         "qps_pallas": round(forced_qps["1"], 1),
         "qps_xla": round(forced_qps["0"], 1),
+        **(
+            {"qps_pallas_deep": round(forced_qps["2"], 1)}
+            if "2" in forced_qps
+            else {}
+        ),
         "recall_at_k": round(recall, 4),
         "k": k,
         "l_search": L,

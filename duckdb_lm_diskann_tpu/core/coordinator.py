@@ -23,6 +23,7 @@ the rowid<->slot map.
 
 from __future__ import annotations
 
+import time
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -70,6 +71,8 @@ class Coordinator:
         self.dirty: bool = False
         self.max_insert_batch: int = 1024
         self._pad_bulk: bool = False
+        # (batch_rows, host_call_seconds) per insert dispatch; see insert().
+        self.build_timings: list[tuple[int, float]] = []
         self.last_search_stats: SearchStats | None = None
         # Optional services injected by the db/store layers (the ctor
         # injection of Coordinator.hpp:46-48).
@@ -147,6 +150,7 @@ class Coordinator:
                 # degrade connectivity. This self-ramps 1,1,2,4,... like the
                 # build schedule.
                 step = min(len(slots) - offset, graph_size, self.max_insert_batch)
+                t0 = time.perf_counter()
                 self.arrays = insert_batch(
                     self.arrays,
                     slots[offset : offset + step],
@@ -158,6 +162,11 @@ class Coordinator:
                     # exactly once.
                     pad_to=self.max_insert_batch if self._pad_bulk else None,
                 )
+                # Host-call duration: ~compile time on first-seen shapes
+                # (XLA compiles synchronously at dispatch), ~dispatch cost
+                # otherwise. bench.py splits build time into compile vs
+                # steady-state from this log.
+                self.build_timings.append((step, time.perf_counter() - t0))
                 offset += step
                 graph_size += step
         except Exception:

@@ -114,6 +114,10 @@ def _score_edges(
     B, E = cur.shape
     R = params.r
     mode = pallas_kernels.dispatch_mode(params.pallas)
+    deep = mode in ("deep", "deep-interpret")
+    interp = mode in ("interpret", "deep-interpret")
+    if deep and not (et is EdgeType.INT4 and params.dims % 2 == 0):
+        mode = "interpret" if interp else "compiled"  # deep is INT4-only
 
     def flat_q(x):  # repeat per beam slot: [B, ...] -> [B*E, ...]
         return x if E == 1 else jnp.repeat(x, E, axis=0)
@@ -126,7 +130,7 @@ def _score_edges(
                 flat_q(q_neg),
                 arrays.edge_pos,
                 arrays.edge_neg,
-                interpret=mode == "interpret",
+                interpret=interp,
             ).astype(jnp.float32)
             return similarity_to_distance(sim, params.metric).reshape(B, E, R)
         e_pos = arrays.edge_pos[cur]  # [B, E, R, W]
@@ -143,13 +147,22 @@ def _score_edges(
                 arrays.edge_i8,
                 arrays.edge_scale,
                 metric=params.metric,
-                interpret=mode == "interpret",
+                interpret=interp,
             ).reshape(B, E, R)
         codes = arrays.edge_i8[cur]  # [B, E, R, D]
         scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = codes.astype(jnp.float32) * scale[..., None]
         return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
     if et is EdgeType.INT4:
+        if deep:
+            return pallas_kernels.int4_frontier_scores_deep(
+                cur.reshape(B * E),
+                flat_q(queries),
+                arrays.edge_i4,
+                arrays.edge_scale,
+                metric=params.metric,
+                interpret=interp,
+            ).reshape(B, E, R)
         if mode is not None and params.dims % 2 == 0:
             return pallas_kernels.int4_frontier_scores(
                 cur.reshape(B * E),
@@ -157,7 +170,7 @@ def _score_edges(
                 arrays.edge_i4,
                 arrays.edge_scale,
                 metric=params.metric,
-                interpret=mode == "interpret",
+                interpret=interp,
             ).reshape(B, E, R)
         packed = arrays.edge_i4[cur]  # [B, E, R, Dh] — half INT8's bytes
         scale = arrays.edge_scale[cur]  # [B, E, R]

@@ -55,12 +55,16 @@ def dispatch_mode(force: str | None = None) -> str | None:
     ``force`` (usually GraphParams.pallas, seeded from the LMD_PALLAS env
     var): "auto" = fastest (currently jnp); "1" = fused Pallas kernels —
     compiled on TPU, interpreter elsewhere (tests exercise the kernel code
-    path on CPU); "interpret" = always interpreter; "0" = always jnp."""
+    path on CPU); "2"/"deep" = the manual K-deep DMA-pipelined kernels
+    (INT4 only; other edge types fall back to the "1" kernels);
+    "interpret" = always interpreter; "0" = always jnp."""
     mode = force if force is not None else os.environ.get("LMD_PALLAS", "auto")
     if mode in ("0", "auto"):
         return None
     if mode == "interpret":
         return "interpret"
+    if mode in ("2", "deep"):
+        return "deep" if _on_tpu() else "deep-interpret"
     if _on_tpu():
         return "compiled"
     return "interpret" if mode == "1" else None
@@ -234,6 +238,109 @@ def int4_frontier_scores(
     )
     return pl.pallas_call(
         functools.partial(_int4_score_kernel, metric),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
+        interpret=interpret,
+    )(cur_slots, q_even, q_odd, edge_i4, scale3)
+
+
+def _int4_deep_kernel(
+    metric, n_flight, cur_ref, qe_ref, qo_ref, codes_hbm, scale_hbm,
+    out_ref, codes_buf, scale_buf, sems
+):
+    """Deep-pipelined variant of the INT4 kernel: K manual HBM->VMEM row
+    DMAs in flight instead of the BlockSpec pipeline's double buffering.
+
+    Row gathers are latency-bound (~1 us/row issued back-to-back), so two
+    buffered fetches leave the DMA engine mostly idle; a K-slot ring of
+    async copies keeps K rows in flight and amortizes the latency — the
+    reason the auto-pipelined kernels above lose to XLA's native gather
+    (dispatch_mode docstring). Step i waits its slot's two copies (codes +
+    scales, issued K steps earlier or in the step-0 warmup), scores one
+    query's R neighbors, and reissues the slot for step i+K.
+    """
+    i = pl.program_id(0)
+    B = pl.num_programs(0)
+    K = n_flight
+
+    def issue(j, slot):
+        pltpu.make_async_copy(
+            codes_hbm.at[cur_ref[j]], codes_buf.at[slot], sems.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            scale_hbm.at[cur_ref[j]], scale_buf.at[slot], sems.at[slot]
+        ).start()
+
+    @pl.when(i == 0)
+    def _warmup():
+        for j in range(min(K, B)):
+            issue(j, j % K)
+
+    slot = jax.lax.rem(i, K)
+    pltpu.make_async_copy(
+        codes_hbm.at[cur_ref[i]], codes_buf.at[slot], sems.at[slot]
+    ).wait()
+    pltpu.make_async_copy(
+        scale_hbm.at[cur_ref[i]], scale_buf.at[slot], sems.at[slot]
+    ).wait()
+
+    qe = qe_ref[i, :]  # [Dh]
+    qo = qo_ref[i, :]
+    c = codes_buf[slot].astype(jnp.int32)  # [R, Dh]
+    s = scale_buf[slot][0, :]  # [R]
+    lo = (((c & 0xF) ^ 8) - 8).astype(jnp.float32)  # even dims
+    hi = ((((c >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)  # odd dims
+    v_lo = lo * s[:, None]
+    v_hi = hi * s[:, None]
+    out_ref[i, :] = _metric_distance(metric, [qe, qo], [v_lo, v_hi])
+
+    nxt = i + K
+
+    @pl.when(nxt < B)
+    def _reissue():
+        issue(nxt, slot)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "n_flight", "interpret")
+)
+def int4_frontier_scores_deep(
+    cur_slots: jnp.ndarray,  # i32[B]
+    queries: jnp.ndarray,  # f32[B, D], D even
+    edge_i4: jnp.ndarray,  # u8[C, R, D//2] (HBM resident)
+    edge_scale: jnp.ndarray,  # f32[C, R]
+    *,
+    metric: MetricType,
+    n_flight: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gather+dequant+distance with a K-deep manual DMA pipeline."""
+    B, D = queries.shape
+    if D % 2:
+        raise ValueError("int4 kernel requires even D")
+    C, R, Dh = edge_i4.shape
+    q_even = queries[:, 0::2]
+    q_odd = queries[:, 1::2]
+    scale3 = edge_scale.reshape(C, 1, R)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
+            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # codes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # scales stay in HBM
+        ],
+        out_specs=pl.BlockSpec((B, R), lambda i, cur: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_flight, R, Dh), jnp.uint8),
+            pltpu.VMEM((n_flight, 1, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_flight,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_int4_deep_kernel, metric, n_flight),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
         interpret=interpret,

@@ -146,3 +146,73 @@ def test_engine_beam_search_dispatches_pallas(rng):
             np.asarray(r_jnp.topk_dists),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_int4_deep_kernel_matches_blockspec_kernel(rng):
+    """The K-deep manual-DMA pipeline is bit-identical to the
+    BlockSpec-pipelined INT4 kernel (same math, different data movement)."""
+    from duckdb_lm_diskann_tpu.common.types import MetricType
+    from duckdb_lm_diskann_tpu.ops.pallas_kernels import (
+        int4_frontier_scores,
+        int4_frontier_scores_deep,
+    )
+    from duckdb_lm_diskann_tpu.ops.quantize import encode_int4_np
+
+    C, R, B, D = 64, 16, 20, 32
+    nbr_vecs = rng.standard_normal((C, R, D)).astype(np.float32)
+    packed, scales = encode_int4_np(nbr_vecs)
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    cur = rng.integers(0, C, B).astype(np.int32)
+    for metric in (MetricType.L2, MetricType.IP, MetricType.COSINE):
+        a = int4_frontier_scores(
+            jnp.asarray(cur), jnp.asarray(q), jnp.asarray(packed),
+            jnp.asarray(scales), metric=metric, interpret=True,
+        )
+        for K in (3, 8, 32):  # K < B, K ~ B, K > B
+            b = int4_frontier_scores_deep(
+                jnp.asarray(cur), jnp.asarray(q), jnp.asarray(packed),
+                jnp.asarray(scales), metric=metric, n_flight=K,
+                interpret=True,
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_dispatches_deep_kernel(rng):
+    """Engine-level: params.pallas='deep' routes INT4 frontier scoring
+    through the deep-pipelined kernel (interpreter on CPU) with results
+    identical to the jnp path; non-INT4 edge types fall back to the
+    BlockSpec kernels without error."""
+    import dataclasses
+
+    from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search
+
+    from duckdb_lm_diskann_tpu.common.types import VectorType
+
+    for edge in (EdgeType.INT4, EdgeType.TERNARY):
+        metric = MetricType.L2 if edge is EdgeType.INT4 else MetricType.COSINE
+        cfg = LmDiskannConfig(
+            metric_type=metric, r=8, l_insert=16, alpha=1.2, l_search=32,
+            dimensions=16, node_vector_type=VectorType.FLOAT32,
+            edge_type=edge,
+        )
+        coord = Coordinator(cfg)
+        data = rng.standard_normal((80, 16)).astype(np.float32)
+        coord.bulk_build(list(range(80)), data)
+        queries = jnp.asarray(data[:6] + 0.01)
+        entry = jnp.int32(coord.entry_slot)
+        p_jnp = dataclasses.replace(coord.params, pallas="0")
+        p_deep = dataclasses.replace(coord.params, pallas="deep")
+        r_jnp = beam_search(
+            coord.arrays, queries, entry, params=p_jnp, l_search=32, k=5
+        )
+        r_deep = beam_search(
+            coord.arrays, queries, entry, params=p_deep, l_search=32, k=5
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_deep.topk_dists),
+            np.asarray(r_jnp.topk_dists),
+            rtol=1e-5, atol=1e-5,
+        )
