@@ -140,7 +140,9 @@ def run_config(
     import dataclasses
 
     forced_qps = {}
-    backends = ("1", "0", "2") if edge_type == "int4" else ("1", "0")
+    backends = (
+        ("1", "0", "2") if edge_type in ("int4", "ternary") else ("1", "0")
+    )
     for forced in backends:
         fp = dataclasses.replace(coord.params, pallas=forced)
 

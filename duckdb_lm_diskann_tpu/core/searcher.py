@@ -116,13 +116,27 @@ def _score_edges(
     mode = pallas_kernels.dispatch_mode(params.pallas)
     deep = mode in ("deep", "deep-interpret")
     interp = mode in ("interpret", "deep-interpret")
-    if deep and not (et is EdgeType.INT4 and params.dims % 2 == 0):
-        mode = "interpret" if interp else "compiled"  # deep is INT4-only
+    deep_ok = (
+        et is EdgeType.INT4 and params.dims % 2 == 0
+    ) or et is EdgeType.TERNARY
+    if deep and not deep_ok:  # deep kernels exist for INT4/TERNARY only
+        mode = "interpret" if interp else "compiled"
+        deep = False
 
     def flat_q(x):  # repeat per beam slot: [B, ...] -> [B*E, ...]
         return x if E == 1 else jnp.repeat(x, E, axis=0)
 
     if et is EdgeType.TERNARY:
+        if deep:
+            sim = pallas_kernels.ternary_frontier_scores_deep(
+                cur.reshape(B * E),
+                flat_q(q_pos),
+                flat_q(q_neg),
+                arrays.edge_pos,
+                arrays.edge_neg,
+                interpret=interp,
+            ).astype(jnp.float32)
+            return similarity_to_distance(sim, params.metric).reshape(B, E, R)
         if mode is not None:
             sim = pallas_kernels.ternary_frontier_scores(
                 cur.reshape(B * E),

@@ -56,7 +56,7 @@ def dispatch_mode(force: str | None = None) -> str | None:
     var): "auto" = fastest (currently jnp); "1" = fused Pallas kernels —
     compiled on TPU, interpreter elsewhere (tests exercise the kernel code
     path on CPU); "2"/"deep" = the manual K-deep DMA-pipelined kernels
-    (INT4 only; other edge types fall back to the "1" kernels);
+    (INT4/TERNARY; other edge types fall back to the "1" kernels);
     "interpret" = always interpreter; "0" = always jnp."""
     mode = force if force is not None else os.environ.get("LMD_PALLAS", "auto")
     if mode in ("0", "auto"):
@@ -135,6 +135,97 @@ def ternary_frontier_scores_auto(cur_slots, q_pos, q_neg, edge_pos, edge_neg):
     return ternary_frontier_scores(
         cur_slots, q_pos, q_neg, edge_pos, edge_neg, interpret=not _on_tpu()
     )
+
+
+def _ternary_deep_kernel(
+    n_flight, cur_ref, qp_ref, qn_ref, ep_hbm, en_hbm,
+    out_ref, ep_buf, en_buf, sems
+):
+    """Deep-pipelined ternary popcount scoring: the K-slot manual-DMA ring
+    of _int4_deep_kernel applied to the two cached edge bit-planes."""
+    i = pl.program_id(0)
+    B = pl.num_programs(0)
+    K = n_flight
+
+    def issue(j, slot):
+        pltpu.make_async_copy(
+            ep_hbm.at[cur_ref[j]], ep_buf.at[slot], sems.at[slot]
+        ).start()
+        pltpu.make_async_copy(
+            en_hbm.at[cur_ref[j]], en_buf.at[slot], sems.at[slot]
+        ).start()
+
+    @pl.when(i == 0)
+    def _warmup():
+        for j in range(min(K, B)):
+            issue(j, j % K)
+
+    slot = jax.lax.rem(i, K)
+    pltpu.make_async_copy(
+        ep_hbm.at[cur_ref[i]], ep_buf.at[slot], sems.at[slot]
+    ).wait()
+    pltpu.make_async_copy(
+        en_hbm.at[cur_ref[i]], en_buf.at[slot], sems.at[slot]
+    ).wait()
+
+    qp = qp_ref[i, :]  # [W]
+    qn = qn_ref[i, :]
+    ep = ep_buf[slot]  # [R, W]
+    en = en_buf[slot]
+    pp = jax.lax.population_count(qp[None, :] & ep)
+    pn = jax.lax.population_count(qp[None, :] & en)
+    np_ = jax.lax.population_count(qn[None, :] & ep)
+    nn = jax.lax.population_count(qn[None, :] & en)
+    out_ref[i, :] = jnp.sum(
+        (pp.astype(jnp.int32) - pn.astype(jnp.int32))
+        - (np_.astype(jnp.int32) - nn.astype(jnp.int32)),
+        axis=-1,
+    )
+
+    nxt = i + K
+
+    @pl.when(nxt < B)
+    def _reissue():
+        issue(nxt, slot)
+
+
+@functools.partial(jax.jit, static_argnames=("n_flight", "interpret"))
+def ternary_frontier_scores_deep(
+    cur_slots: jnp.ndarray,  # i32[B]
+    q_pos: jnp.ndarray,  # u32[B, W]
+    q_neg: jnp.ndarray,  # u32[B, W]
+    edge_pos: jnp.ndarray,  # u32[C, R, W] (HBM resident)
+    edge_neg: jnp.ndarray,  # u32[C, R, W]
+    *,
+    n_flight: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gather+popcount-dot with a K-deep manual DMA pipeline."""
+    B, W = q_pos.shape
+    C, R, _ = edge_pos.shape
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B, W), lambda i, cur: (0, 0)),
+            pl.BlockSpec((B, W), lambda i, cur: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((B, R), lambda i, cur: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_flight, R, W), jnp.uint32),
+            pltpu.VMEM((n_flight, R, W), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_flight,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ternary_deep_kernel, n_flight),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, R), jnp.int32),
+        interpret=interpret,
+    )(cur_slots, q_pos, q_neg, edge_pos, edge_neg)
 
 
 # ---------------------------------------------------------------------------

@@ -216,3 +216,29 @@ def test_engine_dispatches_deep_kernel(rng):
             np.asarray(r_jnp.topk_dists),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_ternary_deep_kernel_matches_blockspec_kernel(rng):
+    from duckdb_lm_diskann_tpu.ops.pallas_kernels import (
+        ternary_frontier_scores,
+        ternary_frontier_scores_deep,
+    )
+    from duckdb_lm_diskann_tpu.ops.ternary import encode_ternary_np
+
+    C, R, B, D = 64, 16, 20, 64
+    planes = encode_ternary_np(
+        rng.standard_normal((C * R, D)).astype(np.float32)
+    )
+    ep = jnp.asarray(planes[0].reshape(C, R, -1))
+    en = jnp.asarray(planes[1].reshape(C, R, -1))
+    qp_np, qn_np = encode_ternary_np(
+        rng.standard_normal((B, D)).astype(np.float32)
+    )
+    qp, qn = jnp.asarray(qp_np), jnp.asarray(qn_np)
+    cur = jnp.asarray(rng.integers(0, C, B, dtype=np.int32))
+    a = ternary_frontier_scores(cur, qp, qn, ep, en, interpret=True)
+    for K in (3, 8, 32):
+        b = ternary_frontier_scores_deep(
+            cur, qp, qn, ep, en, n_flight=K, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
