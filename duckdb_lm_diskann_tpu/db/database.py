@@ -335,6 +335,49 @@ class Database:
                 if bidx.index.coordinator.dirty:
                     bidx.index.persist_to_disk()
 
+    # --- auto-checkpoint daemon -------------------------------------------
+    # The V2 design's background flush daemon (Consolidated Proposal:
+    # 96-107): a thread that periodically merges accumulated deltas into
+    # graph.lmd via the incremental two-phase checkpoint, so foreground
+    # latency never pays for persistence. Safe concurrently with DML/scan:
+    # every LmDiskannIndex method (including persist_to_disk) serializes on
+    # its IndexLock, and the checkpoint itself is incremental (O(dirty
+    # rows)) and crash-idempotent.
+
+    def start_auto_checkpoint(self, interval_s: float = 30.0) -> None:
+        """Start (or retune) the background checkpoint daemon."""
+        if self.path is None:
+            raise RuntimeError("in-memory database has nothing to persist")
+        import threading
+
+        self.stop_auto_checkpoint()
+        self._ckpt_stop = threading.Event()
+
+        def loop(stop: "threading.Event"):
+            while not stop.wait(interval_s):
+                try:
+                    self.checkpoint()
+                except Exception:  # noqa: BLE001 — daemon must not die;
+                    # the dirty flag keeps the state re-checkpointable and
+                    # the next tick (or explicit checkpoint()) retries.
+                    pass
+
+        self._ckpt_thread = threading.Thread(
+            target=loop, args=(self._ckpt_stop,), daemon=True
+        )
+        self._ckpt_thread.start()
+
+    def stop_auto_checkpoint(self, final_checkpoint: bool = True) -> None:
+        """Stop the daemon; by default take one final checkpoint."""
+        stop = getattr(self, "_ckpt_stop", None)
+        if stop is not None:
+            stop.set()
+            self._ckpt_thread.join()
+            self._ckpt_stop = None
+            self._ckpt_thread = None
+        if final_checkpoint and self.path is not None:
+            self.checkpoint()
+
 
 def index_metric_or_default(table: Table, column: str) -> MetricType:
     for bidx in table.indexes.values():

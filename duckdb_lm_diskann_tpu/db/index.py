@@ -18,6 +18,7 @@ buffer drained across successive Scan() calls.
 from __future__ import annotations
 
 import shutil
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -117,6 +118,14 @@ class LmDiskannIndex:
             self.coordinator = Coordinator(config)
         if self.directory is not None:
             self.coordinator.shadow_service = ShadowStorageService(self.directory)
+        # IndexLock: the reference serializes BoundIndex methods under an
+        # exclusive lock (hnsw_index.cpp:191,415-431 StorageLock; IndexLock
+        # on BoundIndex). Engine state is functional, but the Coordinator's
+        # host-side bookkeeping (allocator maps, arrays handle swap) is
+        # not atomic — this lock makes DML/scan/persist thread-safe, which
+        # is what lets the auto-checkpoint daemon (db.database) run
+        # concurrently with foreground operations.
+        self._lock = threading.RLock()
 
     @staticmethod
     def _check_reopen_options(parsed, persisted) -> None:
@@ -152,23 +161,28 @@ class LmDiskannIndex:
     def append(self, rowids, vectors) -> None:
         """Append a chunk (LmDiskannIndex::Append, :350-376 — the reference
         loops row-by-row over Insert; here a batch goes down in one call)."""
-        self.coordinator.insert(rowids, vectors)
+        with self._lock:
+            self.coordinator.insert(rowids, vectors)
 
     def insert(self, rowids, vectors) -> None:
-        self.coordinator.insert(rowids, vectors)
+        with self._lock:
+            self.coordinator.insert(rowids, vectors)
 
     def delete(self, rowids) -> int:
-        return self.coordinator.delete(rowids)
+        with self._lock:
+            return self.coordinator.delete(rowids)
 
     def vacuum(self) -> int:
-        return self.coordinator.vacuum()
+        with self._lock:
+            return self.coordinator.vacuum()
 
     def commit_drop(self) -> None:
         """CommitDrop (:508-514 / Coordinator.cpp:319-351): drop all state
         and remove the index directory."""
-        self.coordinator.handle_commit_drop()
-        if self.directory is not None and self.directory.exists():
-            shutil.rmtree(self.directory)
+        with self._lock:
+            self.coordinator.handle_commit_drop()
+            if self.directory is not None and self.directory.exists():
+                shutil.rmtree(self.directory)
 
     # --- scan surface (InitializeScan/Scan, :639-724) ---
 
@@ -195,12 +209,13 @@ class LmDiskannIndex:
             L = self.settings.effective_l_search(
                 self.config.l_search, state.l_search
             )
-            ids, dists = self.coordinator.search(
-                state.query[None, :],
-                state.k,
-                l_search=L,
-                allowed_rowids=state.allowed_rowids,
-            )
+            with self._lock:
+                ids, dists = self.coordinator.search(
+                    state.query[None, :],
+                    state.k,
+                    l_search=L,
+                    allowed_rowids=state.allowed_rowids,
+                )
             keep = ids[0] >= 0
             state.row_ids = ids[0][keep]
             state.distances = dists[0][keep]
@@ -211,7 +226,10 @@ class LmDiskannIndex:
     def search(self, queries, k: int, l_search: int | None = None):
         """Batched search (the MultiScan analog, hnsw_index.cpp:336-378)."""
         L = self.settings.effective_l_search(self.config.l_search, l_search)
-        return self.coordinator.search(np.atleast_2d(queries), k, l_search=L)
+        with self._lock:
+            return self.coordinator.search(
+                np.atleast_2d(queries), k, l_search=L
+            )
 
     # --- persistence (GetStorageInfo / checkpoint, :516-531) ---
 
@@ -220,7 +238,8 @@ class LmDiskannIndex:
             raise RuntimeError("in-memory index has no directory")
         if not self.settings.get_option("lm_diskann_enable_persistence"):
             return
-        checkpoint.save_index(self.coordinator, self.directory)
+        with self._lock:
+            checkpoint.save_index(self.coordinator, self.directory)
 
     def get_storage_info(self) -> dict:
         """GetStorageInfo (:516-531) + GetInMemorySize accounting."""

@@ -164,3 +164,45 @@ def test_in_memory_size_accounting(rng):
     assert size > 256 * 12 * 4
     coord.insert([0], rng.standard_normal((1, 12)).astype(np.float32))
     assert coord.get_in_memory_size() == size  # preallocated
+
+
+def test_auto_checkpoint_daemon(tmp_path, rng):
+    """Background flush daemon (Consolidated Proposal:96-107): deltas are
+    persisted without explicit checkpoint() calls, concurrently with
+    foreground DML, and a reopened database sees everything."""
+    from duckdb_lm_diskann_tpu.db.database import connect
+
+    data = rng.standard_normal((120, 8)).astype(np.float32)
+    db = connect(str(tmp_path / "db"))
+    t = db.create_table("x", {"vec": data})
+    db.create_index(
+        "v", t, "vec", options={"metric": "l2", "r": 4, "l_insert": 8}
+    )
+    db.start_auto_checkpoint(interval_s=0.2)
+    import time as _t
+
+    # Foreground DML while the daemon checkpoints underneath.
+    added = []
+    for i in range(4):
+        rows = rng.standard_normal((5, 8)).astype(np.float32)
+        t.insert({"vec": rows})
+        added.append(rows)
+        _t.sleep(0.15)
+    idx = next(iter(t.indexes.values())).index
+    deadline = _t.time() + 10
+    while idx.coordinator.dirty and _t.time() < deadline:
+        _t.sleep(0.1)
+    assert not idx.coordinator.dirty, "daemon never checkpointed"
+    db.stop_auto_checkpoint()
+
+    # Reopen with the full table contents: the persisted index matches the
+    # table's row set exactly, so create_index reuses it without a rebuild.
+    full = np.concatenate([data] + added)
+    db2 = connect(str(tmp_path / "db"))
+    t2 = db2.create_table("x", {"vec": full})
+    db2.create_index(
+        "v", t2, "vec", options={"metric": "l2", "r": 4, "l_insert": 8}
+    )
+    idx2 = next(iter(t2.indexes.values())).index
+    assert idx2.coordinator.count == 140
+    assert not idx2.coordinator.dirty  # loaded, not rebuilt
