@@ -256,6 +256,9 @@ def run_config(
     mean_visits = float(
         np.mean([np.asarray(o.visited_count).mean() for o in outs])
     )
+    # Skew indicator: a batch runs until its LAST query converges, so
+    # (batch hops) - (mean visits) is the wasted lock-step tail per batch.
+    mean_hops = float(np.mean([int(o.hops) for o in outs]))
 
     out = {
         "n": n,
@@ -282,6 +285,7 @@ def run_config(
         "p50_batch64_ms": round(p50, 2),
         "p99_batch64_ms": round(p99, 2),
         "mean_visits_per_query": round(mean_visits, 1),
+        "mean_hops_per_batch": round(mean_hops, 1),
         "recall_vs_l": sweep,
         "qps_at_recall95": qps_at_95,
     }
