@@ -225,35 +225,93 @@ def _pipelined_gather(idx, src, n_flight=8, interpret=False):
     )(idx, src)
 
 
+def _pipelined_gather4(idx, srcs, n_flight=8, interpret=False):
+    """Same pipelined pattern, but each logical row issues FOUR DMAs (one
+    per separate source array) sharing one semaphore slot — measures the
+    no-refactor option: keep today's SoA arrays, hide row latency with
+    overlap. srcs = (vectors u32[C,D], neighbors u32[C,R], scales u32[C,R],
+    codes u32[C,Wc])."""
+    K = n_flight
+    Bn = idx.shape[0]
+
+    def kernel(idx_ref, v_ref, n_ref, s_ref, c_ref, ov, on, os_, oc, sems):
+        i = pl.program_id(0)
+
+        def issue(j, slot):
+            r = idx_ref[j]
+            pltpu.make_async_copy(v_ref.at[r], ov.at[j], sems.at[slot]).start()
+            pltpu.make_async_copy(n_ref.at[r], on.at[j], sems.at[slot]).start()
+            pltpu.make_async_copy(s_ref.at[r], os_.at[j], sems.at[slot]).start()
+            pltpu.make_async_copy(c_ref.at[r], oc.at[j], sems.at[slot]).start()
+
+        @pl.when(i == 0)
+        def _warmup():
+            for j in range(min(K, Bn)):
+                issue(j, j % K)
+
+        slot = jax.lax.rem(i, K)
+        # One wait per constituent copy (the semaphore counts bytes per
+        # copy; waiting the same descriptor 4x drains all four).
+        r = idx_ref[i]
+        pltpu.make_async_copy(v_ref.at[r], ov.at[i], sems.at[slot]).wait()
+        pltpu.make_async_copy(n_ref.at[r], on.at[i], sems.at[slot]).wait()
+        pltpu.make_async_copy(s_ref.at[r], os_.at[i], sems.at[slot]).wait()
+        pltpu.make_async_copy(c_ref.at[r], oc.at[i], sems.at[slot]).wait()
+
+        nxt = i + K
+
+        @pl.when(nxt < Bn)
+        def _reissue():
+            issue(nxt, slot)
+
+    vec, nbr, sc, codes = srcs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bn,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((K,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bn, vec.shape[1]), jnp.uint32),
+            jax.ShapeDtypeStruct((Bn, nbr.shape[1]), jnp.uint32),
+            jax.ShapeDtypeStruct((Bn, sc.shape[1]), jnp.uint32),
+            jax.ShapeDtypeStruct((Bn, codes.shape[1]), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(idx, vec, nbr, sc, codes)
+
+
 def gather_ab():
     global pl, pltpu
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(0)
-    vectors = jnp.asarray(rng.standard_normal((CAP, D)).astype(np.float32))
-    edge_i4 = jnp.asarray(
-        rng.integers(0, 255, (CAP, R, D // 2), dtype=np.uint8)
+    h_vec = rng.standard_normal((CAP, D)).astype(np.float32).view(np.uint32)
+    h_codes = (
+        rng.integers(0, 255, (CAP, R * (D // 2)), dtype=np.uint8)
+        .view(np.uint32)
     )
-    edge_scale = jnp.asarray(rng.random((CAP, R)).astype(np.float32))
-    neighbors = jnp.asarray(rng.integers(0, CAP, (CAP, R), dtype=np.int32))
+    h_sc = rng.random((CAP, R)).astype(np.float32).view(np.uint32)
+    h_nbr = rng.integers(0, CAP, (CAP, R), dtype=np.int32).view(np.uint32)
 
-    # Combined self-contained block rows, u32[CAP, ROW].
-    def build_combined():
-        import numpy as onp
-        vec_u32 = onp.asarray(vectors).view(onp.uint32)
-        nbr_u32 = onp.asarray(neighbors).view(onp.uint32)
-        sc_u32 = onp.asarray(edge_scale).view(onp.uint32)
-        codes_u32 = (
-            onp.asarray(edge_i4).reshape(CAP, -1).view(onp.uint32)
-        )
-        return jnp.asarray(
-            onp.concatenate([vec_u32, nbr_u32, sc_u32, codes_u32], axis=1)
-        )
-
-    combined = build_combined()
-    print(f"tables resident: combined {combined.nbytes/2**30:.2f} GiB "
-          f"+ separate {(vectors.nbytes+edge_i4.nbytes+edge_scale.nbytes+neighbors.nbytes)/2**30:.2f} GiB",
+    # Separate SoA tables (today's layout) + combined self-contained rows.
+    vec_u32 = jnp.asarray(h_vec)
+    nbr_u32 = jnp.asarray(h_nbr)
+    sc_u32 = jnp.asarray(h_sc)
+    codes_u32 = jnp.asarray(h_codes)
+    combined = jnp.asarray(
+        np.concatenate([h_vec, h_nbr, h_sc, h_codes], axis=1)
+    )
+    del h_vec, h_codes, h_sc, h_nbr
+    print(f"tables resident: "
+          f"{(combined.nbytes + vec_u32.nbytes + nbr_u32.nbytes + sc_u32.nbytes + codes_u32.nbytes)/2**30:.2f} GiB",
           flush=True)
 
     def harness(gather_sum):
@@ -272,22 +330,20 @@ def gather_ab():
         return run
 
     def sep4_sum(idx):
-        a = jnp.sum(vectors[idx].view(jnp.uint32), axis=-1)
-        b = jnp.sum(neighbors[idx].view(jnp.uint32), axis=-1)
-        c = jnp.sum(
-            edge_i4[idx].reshape(B, -1).astype(jnp.uint32), axis=-1)
-        d = jnp.sum(edge_scale[idx].view(jnp.uint32), axis=-1)
+        a = jnp.sum(vec_u32[idx], axis=-1)
+        b = jnp.sum(nbr_u32[idx], axis=-1)
+        c = jnp.sum(codes_u32[idx], axis=-1)
+        d = jnp.sum(sc_u32[idx], axis=-1)
         return a + b + c + d
 
     def comb1_sum(idx):
         return jnp.sum(combined[idx], axis=-1)
 
     def vec_only_sum(idx):
-        return jnp.sum(vectors[idx].view(jnp.uint32), axis=-1)
+        return jnp.sum(vec_u32[idx], axis=-1)
 
     def codes_only_sum(idx):
-        return jnp.sum(
-            edge_i4[idx].reshape(B, -1).astype(jnp.uint32), axis=-1)
+        return jnp.sum(codes_u32[idx], axis=-1)
 
     variants = [
         ("sep4 (today)", sep4_sum),
@@ -297,11 +353,22 @@ def gather_ab():
     ]
     for K in (4, 8, 16):
         variants.append(
-            (f"pallas K={K}",
+            (f"pallas comb K={K}",
              functools.partial(
                  lambda idx, K: jnp.sum(
                      _pipelined_gather(idx, combined, n_flight=K), axis=-1),
                  K=K))
+        )
+
+    def sep4_pallas_sum(idx, K):
+        outs = _pipelined_gather4(
+            idx, (vec_u32, nbr_u32, sc_u32, codes_u32), n_flight=K)
+        return sum(jnp.sum(o, axis=-1) for o in outs)
+
+    for K in (8, 16):
+        variants.append(
+            (f"pallas sep4 K={K}",
+             functools.partial(sep4_pallas_sum, K=K))
         )
 
     rng2 = np.random.default_rng(7)
