@@ -301,9 +301,11 @@ def beam_search(
         node_vec = arrays.vectors[cur].astype(jnp.float32)  # [B, E, D]
         exact = pairwise_distance(queries[:, None, :], node_vec, params.metric)
 
-        # Mark the beam entries visited.
-        oh = jax.nn.one_hot(idx_e, L, dtype=jnp.bool_) & active_e[:, :, None]
-        beam_vis = s.beam_vis | jnp.any(oh, axis=1)
+        # Mark the beam entries visited (scatter-max: inactive lanes write
+        # False, a no-op; their idx_e points at position 0 of an all-visited
+        # or empty beam either way).
+        rows_e = jnp.arange(B, dtype=jnp.int32)[:, None]
+        beam_vis = s.beam_vis.at[rows_e, idx_e].max(active_e)
         # Track which SEEDS have been visited (see candidate mask below).
         seed_vis = s.seed_vis | jnp.any(
             (cur[:, :, None] == seeds[None, None, :]) & active_e[:, :, None],
@@ -319,9 +321,8 @@ def beam_search(
         # indices to size+i, so -1 would clobber the log's last slot.)
         order_e = jnp.cumsum(active_e.astype(jnp.int32), axis=-1) - 1
         pos_e = jnp.where(active_e, s.vis_cnt[:, None] + order_e, V)  # [B,E]
-        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
-        vis_slot = s.vis_slot.at[rows, pos_e].set(cur, mode="drop")
-        vis_dist = s.vis_dist.at[rows, pos_e].set(exact, mode="drop")
+        vis_slot = s.vis_slot.at[rows_e, pos_e].set(cur, mode="drop")
+        vis_dist = s.vis_dist.at[rows_e, pos_e].set(exact, mode="drop")
         vis_cnt = s.vis_cnt + jnp.sum(active_e.astype(jnp.int32), axis=-1)
 
         # Frontier: all R neighbor slots + cached codes of each visited node.
