@@ -364,19 +364,17 @@ def beam_search(
         # Edges pointing at this round's own visits: those targets are in
         # the beam (just marked visited), so in_beam covers them too.
         cand_ok = live_f & ~in_beam & ~in_vis_seed
-        if E > 1:
-            # Two visited nodes may share a neighbor: keep only the first
-            # occurrence (identical cached-code distance, so which one
-            # survives is irrelevant; the mask keeps the merge dup-free).
-            same = (nbrs_f[:, :, None] == nbrs_f[:, None, :]) & live_f[:, None, :]
-            tri = jnp.tril(jnp.ones((E * R, E * R), jnp.bool_), k=-1)
-            earlier_dup = jnp.any(same & tri[None, :, :], axis=-1)
-            cand_ok = cand_ok & ~earlier_dup
         cand_dist = jnp.where(cand_ok, dist_f, INF)
         cand_slot = jnp.where(cand_ok, nbrs_f, -1)
 
         # Sorted merge, keep best L: insert-and-evict-worst for the whole
         # edge set at once (vectordiskann.c:1136-1148 + :1077-1088).
+        # E > 1: two visited nodes may share a neighbor; the sort-stable
+        # dedup inside merge_beams keeps the first occurrence (identical
+        # cached-code distance either way) — replacing the O((E*R)^2)
+        # pairwise duplicate mask this path used before, which at W=4,
+        # B=1024 materialized a 67 MB [B, ER, ER] tensor per hop and made
+        # wider beams measure SLOWER than W=1.
         new_dist, new_slot, new_vis = topk_ops.merge_beams(
             s.beam_dist,
             s.beam_slot,
@@ -385,6 +383,7 @@ def beam_search(
             L,
             extras_a=(beam_vis.astype(jnp.int32),),
             extras_b=(jnp.zeros_like(cand_slot),),
+            dedup=E > 1,
         )
         # Entries that sorted to +inf are empty; normalize their slot to -1.
         new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)

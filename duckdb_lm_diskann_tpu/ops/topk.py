@@ -76,6 +76,7 @@ def merge_beams(
     *,
     extras_a: tuple[jnp.ndarray, ...] = (),
     extras_b: tuple[jnp.ndarray, ...] = (),
+    dedup: bool = False,
 ) -> tuple[jnp.ndarray, ...]:
     """Merge two (dist, id, extras...) candidate sets, keep the best ``size``.
 
@@ -83,6 +84,13 @@ def merge_beams(
     (vectordiskann.c:1136-1148) applied to a whole batch of new candidates at
     once: concat -> lexicographic sort -> truncate. Callers must pre-mask
     entries they don't want considered (dist=+inf).
+
+    ``dedup``: mask duplicate ids before truncation (keep the first
+    occurrence; a duplicated id always carries an identical distance — see
+    dedup_sorted_ids — so duplicates are adjacent after the sort, and
+    lax.sort's stability keeps the a-side/earlier copy, preserving its
+    extras). Costs a second sort; callers with E>1 frontier expansion use
+    this instead of an O((E*R)^2) pairwise duplicate mask.
     """
     dist = jnp.concatenate([dist_a, dist_b], axis=-1)
     ids = jnp.concatenate([ids_a, ids_b], axis=-1)
@@ -91,4 +99,7 @@ def merge_beams(
         for ea, eb in zip(extras_a, extras_b, strict=True)
     )
     out = sort_by_distance_id(dist, ids, *extras)
+    if dedup:
+        d, i = dedup_sorted_ids(out[0], out[1])
+        out = sort_by_distance_id(d, i, *out[2:])
     return tuple(o[..., :size] for o in out)

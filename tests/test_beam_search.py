@@ -204,3 +204,26 @@ def test_beam_width_expansion(rng, metric, edge_type):
         a = set(np.asarray(r1.topk_slots[b]).tolist()) - {-1}
         c = set(np.asarray(r4.topk_slots[b]).tolist()) - {-1}
         assert len(a & c) >= 0.8 * len(a)
+
+
+@pytest.mark.parametrize("width", [2, 4])
+def test_beam_width_no_duplicate_results(rng, width):
+    """E>1 hops can surface the same neighbor from two visited nodes in one
+    iteration; the sort-stable dedup in merge_beams must keep the beam (and
+    therefore the visited log and top-k) duplicate-free."""
+    n, dims, k = 250, 16, 20
+    params = make_params(MetricType.L2, EdgeType.INT8, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.L2, EdgeType.INT8,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+    queries = jnp.asarray(rng.standard_normal((6, dims)).astype(np.float32))
+    res = beam_search(arrays, queries, jnp.int32(oracle.entry_point),
+                      params=params, l_search=32, k=k, beam_width=width)
+    for b in range(6):
+        top = [s for s in np.asarray(res.topk_slots[b]).tolist() if s >= 0]
+        assert len(top) == len(set(top)), f"duplicate top-k slots: {top}"
+        cnt = int(res.visited_count[b])
+        vis = np.asarray(res.visited_slots[b])[:cnt].tolist()
+        assert len(vis) == len(set(vis)), f"duplicate visits: {vis}"
