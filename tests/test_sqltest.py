@@ -56,3 +56,10 @@ def test_int8_sqllogic_file():
 def test_filtered_sqllogic_file():
     n = run_sqllogic_file(Path(__file__).parent / "sql" / "filtered.sql.test")
     assert n >= 7
+
+
+def test_cosine_ternary_sql_file():
+    n = run_sqllogic_file(
+        Path(__file__).parent / "sql" / "cosine_ternary.sql.test"
+    )
+    assert n >= 9
