@@ -534,12 +534,26 @@ def insert_step(
             return jax.lax.dynamic_slice_in_dim(a, c * CH, CH)
 
         active = sl(pair_ok) & (sl(rank) == r)
-        t_r = jnp.where(active, sl(tgt_s), -1)
-        c_r = jnp.where(active, sl(src_s), -1)
-        nbrs_tbl, do = replace_edge_lists(vectors, nbrs_tbl, t_r, c_r, params)
-        at = jnp.where(do & (c_r >= 0), c_r, cap)
-        accepted = accepted.at[at].max(jnp.ones_like(at))
-        return nbrs_tbl, accepted
+
+        # Ranks are per-target in-link counts: most targets accept one or
+        # two same-batch newcomers, so rounds >= 2 are nearly empty — and
+        # TPU lax.cond executes only the taken branch, so an inactive
+        # (round, chunk) combo skips its [CH, R, D] neighbor-vector
+        # gathers entirely instead of computing a fully-masked no-op.
+        def do_step(carry):
+            nbrs_tbl, accepted = carry
+            t_r = jnp.where(active, sl(tgt_s), -1)
+            c_r = jnp.where(active, sl(src_s), -1)
+            nbrs_tbl, do = replace_edge_lists(
+                vectors, nbrs_tbl, t_r, c_r, params
+            )
+            at = jnp.where(do & (c_r >= 0), c_r, cap)
+            accepted = accepted.at[at].max(jnp.ones_like(at))
+            return nbrs_tbl, accepted
+
+        return jax.lax.cond(
+            jnp.any(active), do_step, lambda carry: carry, (nbrs_tbl, accepted)
+        )
 
     nbrs_tbl, accepted = jax.lax.fori_loop(
         0, recip_rounds * nch, recip_step, (arrays.neighbors, accepted0)
@@ -561,12 +575,17 @@ def insert_step(
 
     def force_round(r, nbrs_tbl):
         active = f_ok & (rank_f == r)
-        return force_edge_lists(
-            vectors,
+        return jax.lax.cond(
+            jnp.any(active),
+            lambda tbl: force_edge_lists(
+                vectors,
+                tbl,
+                jnp.where(active, t_fs, -1),
+                jnp.where(active, c_fs, -1),
+                params,
+            ),
+            lambda tbl: tbl,
             nbrs_tbl,
-            jnp.where(active, t_fs, -1),
-            jnp.where(active, c_fs, -1),
-            params,
         )
 
     nbrs_tbl = jax.lax.fori_loop(
