@@ -212,6 +212,108 @@ def delete_repair_round(
     return write_neighbor_rows(arrays, tgt_slots, sel, params=params)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("params",), donate_argnums=(0,)
+)
+def rescue_orphans_round(
+    arrays: GraphArrays,
+    tgt_slots: jnp.ndarray,  # i32[T] affected nodes (-1 padded, unique)
+    sib_slots: jnp.ndarray,  # i32[T, R] each node's ex-sibling candidates
+    del_slots: jnp.ndarray,  # i32[Dp] slots being deleted (-1 padded)
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """In-link guarantee for the DELETE path. A node whose only in-links
+    came from deleted rows becomes unreachable after repair (the alpha
+    prune may reject it at every repaired target) — the reference inherits
+    the same failure mode from libSQL's unlink-only delete
+    (vectordiskann.c:1666-1686) and papers over it with random entry
+    points. Here: count in-links over the whole (valid-source) neighbor
+    table with one scatter-add histogram; every affected node with zero
+    remaining in-links is force-linked from its nearest live ex-sibling
+    (the insert path's in-link guarantee, applied at delete time).
+
+    Returns (arrays, adopters i32[T]) — the caller refreshes the adopters'
+    cached edge codes (refresh_edge_codes), mirroring insert_batch's
+    deferred refresh."""
+    cap = arrays.capacity
+    T, R = sib_slots.shape
+
+    # Global in-link histogram (valid sources only; deleted rows are
+    # already tombstoned valid=False by the caller).
+    flat = arrays.neighbors.reshape(-1)
+    src_ok = jnp.repeat(arrays.valid, arrays.neighbors.shape[1])
+    cnt = jnp.where(src_ok & (flat >= 0), 1, 0).astype(jnp.int32)
+    hist = jnp.zeros((cap + 1,), jnp.int32).at[
+        jnp.where(flat >= 0, flat, cap)
+    ].add(cnt)
+
+    t_ok = (tgt_slots >= 0) & arrays.valid[jnp.maximum(tgt_slots, 0)]
+    orphan = t_ok & (hist[jnp.clip(tgt_slots, 0, cap)] == 0)
+
+    # Nearest live, non-deleted, non-self ex-sibling per orphan.
+    sib_ok = (sib_slots >= 0) & arrays.valid[jnp.maximum(sib_slots, 0)]
+    sib_ok &= ~jnp.any(
+        sib_slots[:, :, None] == del_slots[None, None, :], axis=-1
+    )
+    sib_ok &= sib_slots != tgt_slots[:, None]
+    t_vec = arrays.vectors[jnp.maximum(tgt_slots, 0)].astype(jnp.float32)
+    s_vec = arrays.vectors[jnp.maximum(sib_slots, 0)].astype(jnp.float32)
+    d = jnp.where(
+        sib_ok,
+        pairwise_distance(t_vec[:, None, :], s_vec, params.prune_metric),
+        INF,
+    )
+    best = jnp.argmin(d, axis=-1)
+    has_sib = jnp.any(sib_ok, axis=-1)
+    adopter = jnp.where(
+        orphan & has_sib,
+        jnp.take_along_axis(sib_slots, best[:, None], axis=1)[:, 0],
+        -1,
+    )
+
+    # Duplicate adopters resolve by rank; orphans are rare, so two rounds
+    # cover all realistic multiplicities (later ranks drop, next delete or
+    # search-repair gets another chance).
+    big = jnp.int32(cap + 1)
+    a_key = jnp.where(adopter >= 0, adopter, big)
+    a_s, t_s = jax.lax.sort((a_key, jnp.where(adopter >= 0, tgt_slots, -1)),
+                            num_keys=1)
+    rank = _rank_within_group(a_s, big)
+    a_s = jnp.where(a_s < big, a_s, -1)
+
+    def force_round(r, nbrs_tbl):
+        active = (a_s >= 0) & (rank == r)
+        return jax.lax.cond(
+            jnp.any(active),
+            lambda tbl: force_edge_lists(
+                arrays.vectors,
+                tbl,
+                jnp.where(active, a_s, -1),
+                jnp.where(active, t_s, -1),
+                params,
+            ),
+            lambda tbl: tbl,
+            nbrs_tbl,
+        )
+
+    nbrs_tbl = jax.lax.cond(
+        jnp.any(adopter >= 0),
+        lambda tbl: jax.lax.fori_loop(0, 2, force_round, tbl),
+        lambda tbl: tbl,
+        arrays.neighbors,
+    )
+    dirty = jax.lax.cond(
+        jnp.any(adopter >= 0),
+        lambda dr: dr.at[jnp.where(a_s >= 0, a_s, cap)].set(
+            True, mode="drop"
+        ),
+        lambda dr: dr,
+        arrays.dirty_rows,
+    )
+    return arrays._replace(neighbors=nbrs_tbl, dirty_rows=dirty), a_s
+
+
 @jax.jit
 def store_vectors(
     arrays: GraphArrays, slots: jnp.ndarray, vecs: jnp.ndarray

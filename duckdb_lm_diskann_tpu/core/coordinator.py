@@ -376,6 +376,32 @@ class Coordinator:
             valid=self.arrays.valid.at[del_idx].set(False),
             dirty_rows=self.arrays.dirty_rows.at[del_idx].set(True),
         )
+
+        # Orphan rescue (in-link guarantee at delete time): after the
+        # repair rounds and tombstoning, any affected node left with ZERO
+        # in-links is force-linked from its nearest live ex-sibling —
+        # otherwise it is permanently unreachable (the reference inherits
+        # this from libSQL's unlink-only delete, vectordiskann.c:1666-1686).
+        if len(tgt):
+            from .builder import refresh_edge_codes, rescue_orphans_round
+
+            uniq, uidx = np.unique(tgt, return_index=True)
+            upad = _pow2_at_least(len(uniq), 256)
+            t_pad = np.full(upad, -1, np.int32)
+            t_pad[: len(uniq)] = uniq
+            sibs = np.full((upad, R), -1, np.int32)
+            sibs[: len(uniq)] = nbr_rows[di[uidx]]
+            self.arrays, adopters = rescue_orphans_round(
+                self.arrays,
+                jnp.asarray(t_pad),
+                jnp.asarray(sibs),
+                del_dev,
+                params=self.params,
+            )
+            self.arrays = refresh_edge_codes(
+                self.arrays, adopters, params=self.params
+            )
+
         for r in present:
             self.allocator.free(r)
         self._slot_rowids[del_slots] = INVALID_ROW_ID
@@ -449,10 +475,105 @@ class Coordinator:
 
     def vacuum(self) -> int:
         """PerformVacuum -> ProcessDeletionQueue (Coordinator.cpp:353-368):
-        recycle tombstoned slots into the free list. Returns slots recycled."""
+        recycle tombstoned slots into the free list, then repair
+        reachability (merge-time graph hygiene, the V2 design's compaction
+        duty, Consolidated Proposal:171-186). Returns slots recycled."""
         recycled = self.allocator.process_deletion_queue()
         self.dirty = self.dirty or bool(recycled)
+        self.repair_reachability()
         return len(recycled)
+
+    def repair_reachability(self, max_rounds: int = 8) -> int:
+        """Force an in-link for every live node unreachable from the entry
+        point. Replace/prune edge maintenance can evict a node's last
+        in-link long after its insert-time in-link guarantee fired, and
+        whole mutually-linked islands can detach — at small R a bulk build
+        can strand several percent of rows this way (the reference inherits
+        the same hole from libSQL and papers over it with random entry
+        points, vectordiskann.c:1450). Each round: host BFS over live
+        out-edges (the verify_graph traversal), one batched beam search
+        for the stranded nodes' nearest REACHABLE neighbors (beam search
+        only ever returns reachable nodes), one force-link pass; a relinked
+        island member exposes its whole island to the next round's BFS, and
+        force-eviction can strand a different node, so iterate to a
+        fixpoint (bounded). Returns nodes relinked."""
+        from .builder import force_edge_lists, refresh_edge_codes
+
+        if self.count < 2 or self.entry_slot < 0:
+            return 0
+        total = 0
+        for _ in range(max_rounds):
+            cap = self.capacity
+            nbrs_h = np.asarray(self.arrays.neighbors)
+            valid_h = np.asarray(self.arrays.valid)
+            reach = np.zeros(cap, bool)
+            frontier = np.asarray([self.entry_slot])
+            reach[frontier] = True
+            while len(frontier):
+                nxt = nbrs_h[frontier].ravel()
+                nxt = nxt[nxt >= 0]
+                nxt = nxt[valid_h[nxt] & ~reach[nxt]]
+                nxt = np.unique(nxt)
+                reach[nxt] = True
+                frontier = nxt
+            orphans = np.nonzero(valid_h & ~reach)[0].astype(np.int32)
+            if len(orphans) == 0:
+                break
+            total += len(orphans)
+            pad = _pow2_at_least(len(orphans), 64)
+            o_pad = np.full(pad, -1, np.int32)
+            o_pad[: len(orphans)] = orphans
+            o_dev = jnp.asarray(o_pad)
+            q = self.arrays.vectors[jnp.maximum(o_dev, 0)].astype(jnp.float32)
+            res = beam_search(
+                self.arrays,
+                q,
+                jnp.int32(self.entry_slot),
+                params=self.params,
+                l_search=max(16, self.params.r),
+                k=4,
+            )
+            # Adopter choice: nearest reachable candidate, preferring ones
+            # with a free neighbor slot (force-link into a full row evicts
+            # its farthest edge, which can strand a DIFFERENT node and
+            # stall the fixpoint); distinct adopters per pass, falling back
+            # through the top-k alternatives on collision.
+            tk = np.asarray(res.topk_slots)
+            has_free = (nbrs_h < 0).any(axis=1)
+            adopters = np.full(pad, -1, np.int32)
+            seen: set[int] = set()
+            for prefer_free in (True, False):
+                for i in range(len(orphans)):
+                    if adopters[i] >= 0:
+                        continue
+                    for s in tk[i]:
+                        if (
+                            s >= 0
+                            and s != orphans[i]
+                            and int(s) not in seen
+                            and (not prefer_free or has_free[s])
+                        ):
+                            adopters[i] = s
+                            seen.add(int(s))
+                            break
+            a_dev = jnp.asarray(adopters)
+            self.arrays = self.arrays._replace(
+                neighbors=force_edge_lists(
+                    self.arrays.vectors,
+                    self.arrays.neighbors,
+                    a_dev,
+                    jnp.where(a_dev >= 0, o_dev, -1),
+                    self.params,
+                ),
+                dirty_rows=self.arrays.dirty_rows.at[
+                    jnp.where(a_dev >= 0, a_dev, self.capacity)
+                ].set(True, mode="drop"),
+            )
+            self.arrays = refresh_edge_codes(
+                self.arrays, a_dev, params=self.params
+            )
+            self.dirty = True
+        return total
 
     def handle_commit_drop(self) -> None:
         """HandleCommitDrop (Coordinator.cpp:319-351): drop all state."""

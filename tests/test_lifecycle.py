@@ -206,3 +206,128 @@ def test_auto_checkpoint_daemon(tmp_path, rng):
     idx2 = next(iter(t2.indexes.values())).index
     assert idx2.coordinator.count == 140
     assert not idx2.coordinator.dirty  # loaded, not rebuilt
+
+
+def test_delete_orphan_rescue(rng):
+    """Deleting ALL in-neighbors of a node must not strand it: the delete
+    path's in-link guarantee force-links it from a live ex-sibling, so a
+    query at the node still finds it (libSQL's unlink-only delete — and
+    the reference with it — leaves such nodes permanently unreachable)."""
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=4, l_insert=8, alpha=1.2, l_search=64,
+        dimensions=8, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    n = 80
+    data = rng.standard_normal((n, 8)).astype(np.float32)
+    coord = Coordinator(cfg)
+    coord.bulk_build(list(range(n)), data)
+
+    # Pick a target that is not the entry point, find its in-neighbors.
+    import jax.numpy as jnp
+
+    nbrs = np.asarray(coord.arrays.neighbors[: coord.allocator.high_water])
+    stranded = 0
+    rescued = 0
+    for x in range(1, n):
+        if x == coord.entry_slot:
+            continue
+        in_nbrs = np.nonzero((nbrs == x).any(axis=1))[0]
+        in_rows = [int(coord.allocator.slot_to_rowid[s]) for s in in_nbrs
+                   if s in coord.allocator.slot_to_rowid and s != x]
+        if not (1 <= len(in_rows) <= 6):
+            continue
+        x_row = coord.allocator.slot_to_rowid[x]
+        if x_row in in_rows:
+            continue
+        coord.delete(in_rows)
+        ids, _ = coord.search(data[x][None, :], 3, l_search=64, n_seeds=1)
+        if x_row not in ids[0].tolist():
+            stranded += 1
+        else:
+            rescued += 1
+        break  # one scenario is enough; loop just finds a suitable x
+    assert rescued == 1 and stranded == 0
+
+
+def test_rescue_orphans_round_mechanism(rng):
+    """Unit test of the delete-path in-link guarantee: a valid node with
+    zero in-links in the neighbor table gets force-linked from its nearest
+    live ex-sibling, and the adopter's row is marked dirty."""
+    import jax.numpy as jnp
+
+    from duckdb_lm_diskann_tpu.core.builder import rescue_orphans_round
+    from duckdb_lm_diskann_tpu.core.graph import GraphParams, make_graph_arrays
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=4, l_insert=8, alpha=1.2, l_search=16,
+        dimensions=4, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    params = GraphParams.from_config(cfg)
+    arrays = make_graph_arrays(params, 64)
+    vecs = rng.standard_normal((64, 4)).astype(np.float32)
+    arrays = arrays._replace(
+        vectors=jnp.asarray(vecs),
+        valid=jnp.zeros(64, bool).at[jnp.arange(6)].set(True),
+        # 0<->1, 2<->3 linked; node 4 has NO in-links; node 5 points at 0.
+        neighbors=jnp.asarray(np.array(
+            [[1, -1, -1, -1],
+             [0, -1, -1, -1],
+             [3, -1, -1, -1],
+             [2, -1, -1, -1],
+             [0, 1, -1, -1],
+             [0, -1, -1, -1]] + [[-1] * 4] * 58, np.int32)),
+    )
+    # Affected set: node 4 (orphan) and node 1 (has an in-link from 0).
+    tgt = jnp.asarray(np.array([4, 1] + [-1] * 6, np.int32))
+    sibs = jnp.asarray(np.array(
+        [[1, 2, 3, 5], [0, 2, -1, -1]] + [[-1] * 4] * 6, np.int32))
+    dels = jnp.asarray(np.full(4, -1, np.int32))
+    out, adopters = rescue_orphans_round(
+        arrays, tgt, sibs, dels, params=params
+    )
+    nbrs = np.asarray(out.neighbors)
+    adopters = [a for a in np.asarray(adopters).tolist() if a >= 0]
+    # Node 4 adopted by exactly one sibling; node 1 untouched (has in-link).
+    assert len(adopters) == 1
+    assert 4 in nbrs[adopters[0]].tolist()
+    # Nearest live sibling chosen.
+    d = np.linalg.norm(vecs[[1, 2, 3, 5]] - vecs[4], axis=1)
+    assert adopters[0] == [1, 2, 3, 5][int(np.argmin(d))]
+    assert bool(np.asarray(out.dirty_rows)[adopters[0]])
+
+
+def test_repair_reachability_fixpoint(rng):
+    """Vacuum's reachability repair: every live node unreachable from the
+    entry point gets force-linked back into the graph; repeated vacuums
+    reach (or hold) full reachability even at tiny R where replace/prune
+    eviction strands several percent of a bulk build."""
+    from duckdb_lm_diskann_tpu.utils.verify import verify_graph
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, alpha=1.2,
+        l_search=64, dimensions=24,
+        node_vector_type=VectorType.FLOAT32, edge_type=EdgeType.INT4,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((500, 24)).astype(np.float32)
+    coord.bulk_build(list(range(500)), data)
+    pre = verify_graph(coord)["reachable_fraction"]
+    n = coord.repair_reachability()
+    post = verify_graph(coord)["reachable_fraction"]
+    assert post >= max(pre, 0.99)
+    if pre < 1.0:
+        assert n > 0 and post > pre
+    # Churn then vacuum: repair keeps running as part of vacuum.
+    coord.insert(
+        list(range(1000, 1050)),
+        rng.standard_normal((50, 24)).astype(np.float32),
+    )
+    coord.delete(list(range(40, 80)))
+    coord.vacuum()
+    coord.vacuum()  # fixpoint: second pass converges any stragglers
+    assert verify_graph(coord)["reachable_fraction"] == 1.0
