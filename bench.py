@@ -22,9 +22,13 @@ vs_baseline compares against the ancestor DiskANN system's published
 single-node figure of >5000 QPS at >0.95 recall (BASELINE.md row 1) — the
 only absolute throughput number published anywhere in the reference.
 
+  3. DEEP-class: 200k x 96d angular (cosine) with INT4 edges — the paper's
+     third dataset family (Table II), covering the int4+cosine codec combo.
+
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_BATCH (1024),
 BENCH_QUERIES (4096), BENCH_L (100), BENCH_WIDTH (1), BENCH_EDGE (int4),
-BENCH_N2 (200_000; 0 disables config 2), BENCH_DELETES (1000).
+BENCH_N2 (100_000; 0 disables config 2), BENCH_N3 (200_000; 0 disables
+config 3), BENCH_DELETES (1000).
 """
 
 from __future__ import annotations
@@ -335,6 +339,15 @@ def main() -> None:
             n=n2, dims=960, metric="cosine", edge_type="ternary",
             l_search=128, k=10, batch=256, n_queries=1024, width=width,
             seed=0x61577, n_deletes=0,
+        )
+    n3 = int(os.environ.get("BENCH_N3", 200_000))
+    if n3:
+        # DEEP-class: 96d angular (paper Table II's third family) on the
+        # INT4 + cosine codec combination.
+        extra["deep_like"] = run_config(
+            n=n3, dims=96, metric="cosine", edge_type="int4",
+            l_search=100, k=10, batch=1024, n_queries=2048, width=width,
+            seed=0xDEE9, n_deletes=0,
         )
 
     result = {
