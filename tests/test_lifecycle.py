@@ -331,3 +331,39 @@ def test_repair_reachability_fixpoint(rng):
     coord.vacuum()
     coord.vacuum()  # fixpoint: second pass converges any stragglers
     assert verify_graph(coord)["reachable_fraction"] == 1.0
+
+
+def test_recall_under_churn(rng):
+    """Quality pin: heavy delete churn + vacuum must keep recall vs brute
+    force high (repair keeps the graph navigable; zombie filtering keeps
+    results clean)."""
+    from tests.oracle import brute_force_topk
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=16, l_insert=32, alpha=1.2,
+        l_search=64, dimensions=16,
+        node_vector_type=VectorType.FLOAT32, edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    n = 600
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    coord.bulk_build(list(range(n)), data)
+    # Delete 30%, vacuum (repairs reachability), then measure recall over
+    # the survivors.
+    victims = rng.choice(n, n * 3 // 10, replace=False)
+    coord.delete(victims.tolist())
+    coord.vacuum()
+    alive = np.setdiff1d(np.arange(n), victims)
+    queries = data[alive[:32]] + 0.01 * rng.standard_normal(
+        (32, 16)
+    ).astype(np.float32)
+    ids, _ = coord.search(queries, 10, l_search=64)
+    truth = brute_force_topk(queries, data[alive], MetricType.L2, 10)
+    truth_ids = alive[truth]  # map brute-force positions back to rowids
+    rec = np.mean([
+        len(set(ids[b].tolist()) & set(truth_ids[b].tolist())) / 10
+        for b in range(32)
+    ])
+    assert not np.isin(ids, victims).any()
+    assert rec >= 0.9, rec
