@@ -175,7 +175,15 @@ class GlobalShardedIndex:
         return n
 
     def distribute(self) -> GraphArrays:
-        """Block-partition the coordinator's arrays across the mesh."""
+        """Block-partition the coordinator's arrays across the mesh.
+
+        Multi-process meshes (jax.distributed): a NamedSharding spanning
+        other hosts' devices is not addressable from this process, so each
+        process places only its LOCAL devices' row blocks and assembles the
+        global array with jax.make_array_from_single_device_arrays — every
+        process holds the same full Coordinator state (the build is
+        deterministic), so the assembled shards agree without any host
+        ever transferring another host's rows."""
         if self._stacked is not None:
             return self._stacked
         coord = self.coordinator
@@ -184,12 +192,22 @@ class GlobalShardedIndex:
         if cap % S:
             coord._ensure_capacity(((cap // S) + 1) * S)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        stacked = GraphArrays(
-            *(
-                jax.device_put(_stack_rows(np.asarray(a), S), sharding)
-                for a in coord.arrays
+        mesh_devs = list(self.mesh.devices.flat)
+
+        def put(a):
+            rows = _stack_rows(np.asarray(a), S)
+            if jax.process_count() == 1:
+                return jax.device_put(rows, sharding)
+            local = [
+                jax.device_put(rows[g][None], d)
+                for g, d in enumerate(mesh_devs)
+                if d.process_index == jax.process_index()
+            ]
+            return jax.make_array_from_single_device_arrays(
+                rows.shape, sharding, local
             )
-        )
+
+        stacked = GraphArrays(*(put(a) for a in coord.arrays))
         self._stacked = stacked
         return stacked
 

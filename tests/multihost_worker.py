@@ -73,10 +73,30 @@ def main() -> int:
             for b in range(len(queries))
         ]
     )
+    # Global-graph mode across processes: ONE graph row-sharded over the
+    # 4-device global mesh, per-hop psum row exchange crossing the process
+    # boundary — results must be ID-EXACT vs the single-chip search of the
+    # same graph (the BASELINE result-equivalence mandate, SURVEY §7.3).
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.parallel.global_graph import GlobalShardedIndex
+
+    coord = Coordinator(cfg, initial_capacity=256)
+    coord.bulk_build(list(range(n)), data)  # deterministic on every process
+    ids_single, dists_single = coord.search(queries, 5, l_search=64)
+    gidx = GlobalShardedIndex(coord)
+    assert gidx.n_shards == 2 * n_procs
+    ids_global, dists_global = gidx.search(queries, 5, l_search=64)
+    exact = bool(
+        np.array_equal(ids_single, ids_global)
+        and np.allclose(dists_single, dists_global)
+    )
+    assert exact, (ids_single.tolist(), ids_global.tolist())
+
     result = {
         "proc": proc_id,
         "devices": jax.device_count(),
         "overlap": float(overlap),
+        "global_exact": exact,
         "ids": ids.tolist(),
     }
     if proc_id == 0:

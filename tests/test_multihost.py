@@ -62,3 +62,5 @@ def test_multihost_sharded_search(tmp_path):
     result = json.loads(out.read_text())
     assert result["devices"] == 2 * n_procs
     assert result["overlap"] >= 0.9
+    # Cross-process global-graph mode returned single-chip-identical ids.
+    assert result["global_exact"] is True
