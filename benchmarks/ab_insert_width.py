@@ -8,12 +8,14 @@ before that change are stale.
 """
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-sys.path.insert(0, "/root/repo")
+_REPO = Path(__file__).resolve().parent.parent
+jax.config.update("jax_compilation_cache_dir", str(_REPO / ".jax_cache"))
+sys.path.insert(0, str(_REPO))
 import jax.numpy as jnp
 
 from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType, VectorType
@@ -22,7 +24,6 @@ from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
 from duckdb_lm_diskann_tpu.core.searcher import beam_search
 from duckdb_lm_diskann_tpu.ops.distance import all_pairs_distance
 
-sys.path.insert(0, "/root/repo")
 from bench import make_corpus  # pinned manifold generator
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000

@@ -222,7 +222,7 @@ def rescue_orphans_round(
     del_slots: jnp.ndarray,  # i32[Dp] slots being deleted (-1 padded)
     *,
     params: GraphParams,
-) -> GraphArrays:
+) -> tuple[GraphArrays, jnp.ndarray]:
     """In-link guarantee for the DELETE path. A node whose only in-links
     came from deleted rows becomes unreachable after repair (the alpha
     prune may reject it at every repaired target) — the reference inherits
@@ -233,9 +233,11 @@ def rescue_orphans_round(
     remaining in-links is force-linked from its nearest live ex-sibling
     (the insert path's in-link guarantee, applied at delete time).
 
-    Returns (arrays, adopters i32[T]) — the caller refreshes the adopters'
-    cached edge codes (refresh_edge_codes), mirroring insert_batch's
-    deferred refresh."""
+    Returns (arrays, adopters i32[T], deduped) — the caller refreshes the
+    adopters' cached edge codes (refresh_edge_codes), mirroring
+    insert_batch's deferred refresh; duplicates (two orphans adopted by
+    the same node) are masked to -1 so the refresh scatter never hits the
+    same row twice (write_neighbor_rows' stated invariant)."""
     cap = arrays.capacity
     T, R = sib_slots.shape
 
@@ -311,7 +313,10 @@ def rescue_orphans_round(
         lambda dr: dr,
         arrays.dirty_rows,
     )
-    return arrays._replace(neighbors=nbrs_tbl, dirty_rows=dirty), a_s
+    # a_s is sorted ascending: mask non-first duplicates for the refresh.
+    a_prev = jnp.concatenate([jnp.full_like(a_s[:1], -2), a_s[:-1]])
+    a_refresh = jnp.where((a_s != a_prev) & (a_s >= 0), a_s, -1)
+    return arrays._replace(neighbors=nbrs_tbl, dirty_rows=dirty), a_refresh
 
 
 @jax.jit

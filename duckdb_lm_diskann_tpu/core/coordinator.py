@@ -72,7 +72,9 @@ class Coordinator:
         self.max_insert_batch: int = 1024
         self._pad_bulk: bool = False
         # (batch_rows, host_call_seconds) per insert dispatch; see insert().
+        # Bounded: long-lived streaming inserters must not leak.
         self.build_timings: list[tuple[int, float]] = []
+        self._needs_reachability_repair: bool = False
         self.last_search_stats: SearchStats | None = None
         # Optional services injected by the db/store layers (the ctor
         # injection of Coordinator.hpp:46-48).
@@ -167,6 +169,8 @@ class Coordinator:
                 # otherwise. bench.py splits build time into compile vs
                 # steady-state from this log.
                 self.build_timings.append((step, time.perf_counter() - t0))
+                if len(self.build_timings) > 8192:
+                    del self.build_timings[:4096]
                 offset += step
                 graph_size += step
         except Exception:
@@ -195,6 +199,7 @@ class Coordinator:
         if self.shadow_service is not None:
             self.shadow_service.log_insert_batch(rowids, slots.tolist())
         self.dirty = True
+        self._needs_reachability_repair = True
 
     def bulk_build(
         self,
@@ -416,6 +421,7 @@ class Coordinator:
         if self.entry_slot in del_set:
             self.entry_slot, self.entry_rowid = self._select_fallback_entry()
         self.dirty = True
+        self._needs_reachability_repair = True
         return len(present)
 
     def _seed_slots(self, n_seeds: int) -> np.ndarray:
@@ -480,7 +486,12 @@ class Coordinator:
         duty, Consolidated Proposal:171-186). Returns slots recycled."""
         recycled = self.allocator.process_deletion_queue()
         self.dirty = self.dirty or bool(recycled)
-        self.repair_reachability()
+        # Reachability repair only when the graph mutated since the last
+        # repair: a no-op vacuum on a clean index must not pull the full
+        # neighbor table to host for a BFS (≈256 MB at 1M x R=64) while
+        # holding the IndexLock.
+        if self._needs_reachability_repair:
+            self.repair_reachability()
         return len(recycled)
 
     def repair_reachability(self, max_rounds: int = 8) -> int:
@@ -500,6 +511,7 @@ class Coordinator:
         from .builder import force_edge_lists, refresh_edge_codes
 
         if self.count < 2 or self.entry_slot < 0:
+            self._needs_reachability_repair = False
             return 0
         total = 0
         for _ in range(max_rounds):
@@ -519,7 +531,6 @@ class Coordinator:
             orphans = np.nonzero(valid_h & ~reach)[0].astype(np.int32)
             if len(orphans) == 0:
                 break
-            total += len(orphans)
             pad = _pow2_at_least(len(orphans), 64)
             o_pad = np.full(pad, -1, np.int32)
             o_pad[: len(orphans)] = orphans
@@ -556,6 +567,10 @@ class Coordinator:
                             adopters[i] = s
                             seen.add(int(s))
                             break
+            n_adopted = int((adopters >= 0).sum())
+            if n_adopted == 0:
+                break  # no orphan could be adopted; further rounds stall
+            total += n_adopted
             a_dev = jnp.asarray(adopters)
             self.arrays = self.arrays._replace(
                 neighbors=force_edge_lists(
@@ -573,6 +588,7 @@ class Coordinator:
                 self.arrays, a_dev, params=self.params
             )
             self.dirty = True
+        self._needs_reachability_repair = False
         return total
 
     def handle_commit_drop(self) -> None:

@@ -330,8 +330,11 @@ class Database:
         PersistToDisk path, hnsw_index.cpp:502-546)."""
         if self.path is None:
             return
-        for t in self.tables.values():
-            for bidx in t.indexes.values():
+        # Snapshot the catalog: the auto-checkpoint daemon calls this from
+        # its own thread while the main thread may create/drop tables or
+        # indexes (dict-mutation-during-iteration otherwise).
+        for t in list(self.tables.values()):
+            for bidx in list(t.indexes.values()):
                 if bidx.index.coordinator.dirty:
                     bidx.index.persist_to_disk()
 
@@ -350,17 +353,29 @@ class Database:
             raise RuntimeError("in-memory database has nothing to persist")
         import threading
 
-        self.stop_auto_checkpoint()
+        # final_checkpoint=False: starting (or retuning) the daemon must
+        # not run a full synchronous checkpoint on the caller's thread —
+        # that foreground stall is exactly what the daemon exists to avoid.
+        self.stop_auto_checkpoint(final_checkpoint=False)
         self._ckpt_stop = threading.Event()
+        self.last_checkpoint_error: Exception | None = None
 
         def loop(stop: "threading.Event"):
+            import logging
+
+            log = logging.getLogger(__name__)
             while not stop.wait(interval_s):
                 try:
                     self.checkpoint()
-                except Exception:  # noqa: BLE001 — daemon must not die;
-                    # the dirty flag keeps the state re-checkpointable and
-                    # the next tick (or explicit checkpoint()) retries.
-                    pass
+                    self.last_checkpoint_error = None
+                except Exception as exc:  # noqa: BLE001 — daemon must not
+                    # die; the dirty flag keeps the state
+                    # re-checkpointable and the next tick retries. The
+                    # failure is logged and surfaced on
+                    # last_checkpoint_error so persistent errors (disk
+                    # full, corruption) are not silent.
+                    self.last_checkpoint_error = exc
+                    log.warning("auto-checkpoint failed: %r", exc)
 
         self._ckpt_thread = threading.Thread(
             target=loop, args=(self._ckpt_stop,), daemon=True

@@ -85,12 +85,13 @@ def merge_beams(
     once: concat -> lexicographic sort -> truncate. Callers must pre-mask
     entries they don't want considered (dist=+inf).
 
-    ``dedup``: mask duplicate ids before truncation (keep the first
-    occurrence; a duplicated id always carries an identical distance — see
-    dedup_sorted_ids — so duplicates are adjacent after the sort, and
-    lax.sort's stability keeps the a-side/earlier copy, preserving its
-    extras). Costs a second sort; callers with E>1 frontier expansion use
-    this instead of an O((E*R)^2) pairwise duplicate mask.
+    ``dedup``: mask duplicate ids before truncation, keeping each id's
+    best (distance, then original-order) copy. The dedup pass sorts by
+    (id, distance) so ALL copies of an id are adjacent — including copies
+    with differing distances, which exist when a stale cached edge code
+    points at a recycled slot — then re-sorts by (distance, id). Two sorts
+    total; callers with E>1 frontier expansion use this instead of an
+    O((E*R)^2) pairwise duplicate mask.
     """
     dist = jnp.concatenate([dist_a, dist_b], axis=-1)
     ids = jnp.concatenate([ids_a, ids_b], axis=-1)
@@ -98,8 +99,16 @@ def merge_beams(
         jnp.concatenate([ea, eb], axis=-1)
         for ea, eb in zip(extras_a, extras_b, strict=True)
     )
-    out = sort_by_distance_id(dist, ids, *extras)
     if dedup:
-        d, i = dedup_sorted_ids(out[0], out[1])
-        out = sort_by_distance_id(d, i, *out[2:])
+        by_id = jax.lax.sort((ids, dist) + extras, dimension=-1, num_keys=2)
+        ids_s, dist_s = by_id[0], by_id[1]
+        prev = jnp.concatenate(
+            [jnp.full_like(ids_s[..., :1], -2), ids_s[..., :-1]], axis=-1
+        )
+        dup = (ids_s == prev) & (ids_s >= 0)
+        dist_s = jnp.where(dup, INF, dist_s)
+        ids_s = jnp.where(dup, jnp.int32(-1), ids_s)
+        out = sort_by_distance_id(dist_s, ids_s, *by_id[2:])
+    else:
+        out = sort_by_distance_id(dist, ids, *extras)
     return tuple(o[..., :size] for o in out)

@@ -193,11 +193,13 @@ def save_index(
                 bf.submit_write_at(sel, blocks)
             else:
                 bf.submit_write(int(sel[0]), blocks)
-        if incremental and bf.num_blocks < hw:
-            # Queue order keeps this after all scattered writes.
-            bf.flush_wait(bf.submit_sync())
-            bf.truncate(hw)  # slots allocated but never written stay 0
+        # Drain the writer BEFORE reading num_blocks: the worker thread
+        # mutates the header's block count as scattered writes land, so the
+        # read is only well-defined at quiescence.
         bf.flush_wait(bf.submit_sync())
+        if incremental and bf.num_blocks < hw:
+            bf.truncate(hw)  # slots allocated but never written stay 0
+            bf.sync()
         checksums = (
             np.concatenate(checksums_all)
             if checksums_all
