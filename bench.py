@@ -299,6 +299,9 @@ def run_config(
         del_ids = rng.choice(n, n_deletes, replace=False).tolist()
         t0 = time.perf_counter()
         coord.delete(del_ids)
+        # delete() dispatches repair/rescue asynchronously; the latency
+        # number must include the device work, not just host dispatch.
+        jax.block_until_ready(coord.arrays)
         del_s = time.perf_counter() - t0
         out["delete_ms_per_row"] = round(del_s * 1e3 / n_deletes, 3)
         out["delete_rows"] = n_deletes

@@ -778,25 +778,43 @@ def insert_batch(
     # target applied (visited sets are duplicate-free, so one round covers
     # all pairs).
     full = M == 1
-    arrays, refresh_t, refresh_f = insert_step(
-        arrays,
-        new_slots_d,
-        new_vecs_d,
-        jnp.int32(entry_slot),
-        params=params,
-        full_visited=full,
-        recip_rounds=1 if full else _RECIP_ROUNDS,
-    )
-    # Deferred edge-code refresh, in bounded chunks (still zero host
-    # syncs: chunk boundaries are static, slices stay on device; each call
-    # donates arrays so the update chain is in-place).
-    CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
-    for off in range(0, refresh_t.shape[0], CH):
-        arrays = refresh_edge_codes(
-            arrays, refresh_t[off : off + CH], params=params
+    try:
+        arrays, refresh_t, refresh_f = insert_step(
+            arrays,
+            new_slots_d,
+            new_vecs_d,
+            jnp.int32(entry_slot),
+            params=params,
+            full_visited=full,
+            recip_rounds=1 if full else _RECIP_ROUNDS,
         )
-    arrays = refresh_edge_codes(arrays, refresh_f, params=params)
+        # Deferred edge-code refresh, in bounded chunks (still zero host
+        # syncs: chunk boundaries are static, slices stay on device; each
+        # call donates arrays so the update chain is in-place).
+        CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
+        for off in range(0, refresh_t.shape[0], CH):
+            arrays = refresh_edge_codes(
+                arrays, refresh_t[off : off + CH], params=params
+            )
+        arrays = refresh_edge_codes(arrays, refresh_f, params=params)
+    except Exception as exc:
+        # The chain donates its input buffers: once insert_step has run,
+        # the caller's handle is dead, and a failure in a LATER step would
+        # otherwise leave the coordinator pointing at deleted buffers
+        # (bricking it and masking the real error when rollback touches
+        # them). Hand the last-good intermediate state back on the
+        # exception so the caller can restore a live handle and roll back.
+        if not _buffers_deleted(arrays):
+            exc.partial_arrays = arrays  # type: ignore[attr-defined]
+        raise
     return arrays
+
+
+def _buffers_deleted(arrays: GraphArrays) -> bool:
+    try:
+        return bool(arrays.vectors.is_deleted())
+    except Exception:  # non-jax.Array leaves (never deleted)
+        return False
 
 
 def build_schedule(n: int, max_batch: int = 1024) -> list[int]:

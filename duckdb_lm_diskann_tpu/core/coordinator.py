@@ -173,19 +173,30 @@ class Coordinator:
                     del self.build_timings[:4096]
                 offset += step
                 graph_size += step
-        except Exception:
+        except Exception as exc:
             # Rollback FreeNode on error (Coordinator.cpp:160-172): clear the
             # valid mask for every slot this batch touched (store_vectors may
             # have marked them live) and leave the slots in the pending
             # deletion queue — immediate recycling would bypass the
             # zombie-edge protection the queue exists to provide; vacuum
             # reclaims them like any other delete.
+            #
+            # insert_batch donates self.arrays' buffers; if it failed AFTER
+            # the donation it attaches the last-good intermediate state —
+            # restore it so the rollback below operates on live buffers
+            # (touching the donated handle would raise and mask the real
+            # error, leaving the coordinator bricked).
+            partial = getattr(exc, "partial_arrays", None)
+            if partial is not None:
+                self.arrays = partial
             touched = [
                 self.allocator.rowid_to_slot[r]
                 for r in rowids
                 if r in self.allocator.rowid_to_slot
             ]
-            if touched:
+            from .builder import _buffers_deleted
+
+            if touched and not _buffers_deleted(self.arrays):
                 self.arrays = self.arrays._replace(
                     valid=self.arrays.valid.at[
                         jnp.asarray(touched, jnp.int32)
@@ -266,9 +277,7 @@ class Coordinator:
                     np.asarray(allowed_rowids, np.int64),
                 )
             )
-        import time as _time
-
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         res = beam_search(
             self.arrays,
             jnp.asarray(queries),
@@ -281,7 +290,7 @@ class Coordinator:
         )
         slots = np.asarray(res.topk_slots)
         dists = np.asarray(res.topk_dists)
-        wall = _time.perf_counter() - t0  # after device sync (np.asarray)
+        wall = time.perf_counter() - t0  # after device sync (np.asarray)
         visited = int(np.asarray(res.visited_count).sum())
         self.last_search_stats = SearchStats(
             queries=B,

@@ -403,14 +403,20 @@ def beam_search(
 
     # Final pass: top-k = k best (exact dist, slot) among visited nodes —
     # the aTopCandidates buffer (vectordiskann.c:1091-1110) / the exact
-    # re-rank of Searcher.cpp:189-245 in one deterministic sort.
+    # re-rank of Searcher.cpp:189-245 in one deterministic sort. The log
+    # is deduped first: a slot CAN be visited twice when a stale cached
+    # edge code (zombie in-edge into a vacuum-recycled slot) re-offers an
+    # evicted node with a different approx key than its live edges; both
+    # visits carry the same exact distance, so duplicates are adjacent
+    # after the sort and one truncation-safe mask removes them.
     vis_dist = final.vis_dist
     if allowed is not None:
         ok = allowed[jnp.maximum(final.vis_slot, 0)] & (final.vis_slot >= 0)
         vis_dist = jnp.where(ok, vis_dist, INF)
-    topk_dists, topk_slots = topk_ops.topk_by_distance(
-        vis_dist, final.vis_slot, k
-    )
+    sd, ss = topk_ops.sort_by_distance_id(vis_dist, final.vis_slot)
+    sd, ss = topk_ops.dedup_sorted_ids(sd, ss)
+    sd, ss = topk_ops.sort_by_distance_id(sd, ss)
+    topk_dists, topk_slots = sd[..., :k], ss[..., :k]
     topk_slots = jnp.where(jnp.isinf(topk_dists), -1, topk_slots)
     return SearchResult(
         topk_slots=topk_slots,

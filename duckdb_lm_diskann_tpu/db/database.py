@@ -148,9 +148,30 @@ class Database:
             # it when it indexes exactly the table's rows (the natural
             # reopen workflow); otherwise rebuild from scratch — re-running
             # bulk_build into the loaded coordinator would raise on
-            # duplicate row ids.
+            # duplicate row ids. Matching rowids alone is not sufficient:
+            # a table recreated with the same ids but different VECTORS
+            # must not silently reuse the stale graph, so a sample of rows
+            # is value-checked against the index's stored vectors.
             have = set(idx.coordinator.allocator.rowid_to_slot)
-            if have != {int(r) for r in want_rowids}:
+
+            def content_matches() -> bool:
+                if not len(want_rowids):
+                    return True
+                slots = np.asarray(
+                    [
+                        idx.coordinator.allocator.rowid_to_slot[int(r)]
+                        for r in want_rowids
+                    ]
+                )
+                stored = np.asarray(
+                    idx.coordinator.arrays.vectors[slots]
+                ).astype(np.float32)
+                table_rows = data[finite].astype(np.float32)
+                if idx.coordinator.arrays.vectors.dtype == np.int8:
+                    table_rows = np.clip(np.round(table_rows), -128, 127)
+                return np.allclose(stored, table_rows, atol=1e-6)
+
+            if have != {int(r) for r in want_rowids} or not content_matches():
                 idx.coordinator.handle_commit_drop()
                 if idx.coordinator.shadow_service is not None:
                     idx.coordinator.shadow_service.reset()

@@ -180,6 +180,8 @@ class LmDiskannIndex:
         """CommitDrop (:508-514 / Coordinator.cpp:319-351): drop all state
         and remove the index directory."""
         with self._lock:
+            self._dropped = True  # persist_to_disk must not resurrect the
+            # directory if the auto-checkpoint daemon races a drop
             self.coordinator.handle_commit_drop()
             if self.directory is not None and self.directory.exists():
                 shutil.rmtree(self.directory)
@@ -239,6 +241,8 @@ class LmDiskannIndex:
         if not self.settings.get_option("lm_diskann_enable_persistence"):
             return
         with self._lock:
+            if getattr(self, "_dropped", False):
+                return  # dropped while a daemon tick was pending
             checkpoint.save_index(self.coordinator, self.directory)
 
     def get_storage_info(self) -> dict:

@@ -158,13 +158,19 @@ class MiniSql:
             # Session option (SET lm_diskann_l_search = ..., the
             # hnsw_ef_search analog, hnsw_index.cpp:667-675).
             name, val = m.group(1), m.group(2)
-            try:
-                value = int(val)
-            except ValueError:
+            if val in ("true", "on"):
+                value = True  # boolean options (filter_pushdown,
+            elif val in ("false", "off"):
+                value = False  # enable_persistence) — a raw string
+                # "false" would be truthy and silently do nothing
+            else:
                 try:
-                    value = float(val)
+                    value = int(val)
                 except ValueError:
-                    value = val
+                    try:
+                        value = float(val)
+                    except ValueError:
+                        value = val
             self.db.set_option(name, value)
             return []
 

@@ -167,10 +167,6 @@ class ShardedIndex:
             self._stacked_cap = cap
         devices = list(self.mesh.devices.flat)
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
-        field_names = list(GraphArrays._fields) + [
-            "rowids_hi", "rowids_lo", "entry", "counts",
-        ]
-
         for s in self._dirty_shards:
             c = self.coordinators[s]
             c._ensure_capacity(cap)

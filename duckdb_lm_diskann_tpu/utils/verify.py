@@ -79,7 +79,10 @@ def verify_graph(coord, check_reachability: bool = True) -> dict:
             reach[frontier] = True
             while len(frontier):
                 nxt = nbrs[frontier].ravel()
-                nxt = nxt[(nxt >= 0)]
+                # Clamp BOTH bounds: a corrupt out-of-range neighbor slot
+                # must surface as the already-recorded problem report, not
+                # crash the BFS with an IndexError.
+                nxt = nxt[(nxt >= 0) & (nxt < cap)]
                 nxt = nxt[valid[nxt] & ~reach[nxt]]
                 nxt = np.unique(nxt)
                 reach[nxt] = True

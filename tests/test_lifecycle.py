@@ -367,3 +367,25 @@ def test_recall_under_churn(rng):
     ])
     assert not np.isin(ids, victims).any()
     assert rec >= 0.9, rec
+
+
+def test_reopen_with_changed_vectors_rebuilds(tmp_path, rng):
+    """create_index must not reuse a persisted index when the table holds
+    the same rowids but DIFFERENT vectors (stale-graph hazard)."""
+    from duckdb_lm_diskann_tpu.db.database import connect
+
+    data = rng.standard_normal((60, 8)).astype(np.float32)
+    db = connect(str(tmp_path / "db"))
+    t = db.create_table("x", {"vec": data})
+    db.create_index("v", t, "vec", options={"metric": "l2", "r": 4, "l_insert": 8})
+    db.checkpoint()
+
+    changed = data.copy()
+    changed[10] = -changed[10] * 3.0  # same rowids, different content
+    db2 = connect(str(tmp_path / "db"))
+    t2 = db2.create_table("x", {"vec": changed})
+    db2.create_index("v", t2, "vec", options={"metric": "l2", "r": 4, "l_insert": 8})
+    idx2 = next(iter(t2.indexes.values())).index
+    slot = idx2.coordinator.allocator.rowid_to_slot[10]
+    stored = np.asarray(idx2.coordinator.arrays.vectors[slot])
+    np.testing.assert_allclose(stored, changed[10], atol=1e-6)

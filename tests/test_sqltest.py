@@ -63,3 +63,17 @@ def test_cosine_ternary_sql_file():
         Path(__file__).parent / "sql" / "cosine_ternary.sql.test"
     )
     assert n >= 9
+
+
+def test_set_boolean_option_parses():
+    """SET <opt> = false must store a real boolean, not the truthy string
+    'false' (which would silently leave the option enabled)."""
+    from duckdb_lm_diskann_tpu.db.sqltest import MiniSql
+
+    sql = MiniSql()
+    sql.execute("SET lm_diskann_filter_pushdown = false")
+    assert sql.db.get_option("lm_diskann_filter_pushdown") is False
+    sql.execute("SET lm_diskann_filter_pushdown = true")
+    assert sql.db.get_option("lm_diskann_filter_pushdown") is True
+    sql.execute("SET lm_diskann_l_search = 42")
+    assert sql.db.get_option("lm_diskann_l_search") == 42
