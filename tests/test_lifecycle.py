@@ -389,3 +389,29 @@ def test_reopen_with_changed_vectors_rebuilds(tmp_path, rng):
     slot = idx2.coordinator.allocator.rowid_to_slot[10]
     stored = np.asarray(idx2.coordinator.arrays.vectors[slot])
     np.testing.assert_allclose(stored, changed[10], atol=1e-6)
+
+
+def test_daemon_does_not_resurrect_dropped_index(tmp_path, rng):
+    """A pending auto-checkpoint tick racing drop_index must not recreate
+    the dropped index's directory."""
+    import time as _t
+
+    from duckdb_lm_diskann_tpu.db.database import connect
+
+    data = rng.standard_normal((80, 8)).astype(np.float32)
+    db = connect(str(tmp_path / "db"))
+    t = db.create_table("x", {"vec": data})
+    db.create_index("v", t, "vec", options={"metric": "l2", "r": 4, "l_insert": 8})
+    idx = next(iter(t.indexes.values())).index
+    directory = idx.directory
+    db.start_auto_checkpoint(interval_s=0.1)
+    t.insert({"vec": rng.standard_normal((3, 8)).astype(np.float32)})
+    db.drop_index(t, "v")
+    assert not directory.exists()
+    # Simulate the worst race directly: a tick that had already captured
+    # the index object calls persist_to_disk after the drop.
+    idx.coordinator.dirty = True
+    idx.persist_to_disk()
+    _t.sleep(0.4)
+    db.stop_auto_checkpoint()
+    assert not directory.exists(), "daemon resurrected a dropped index dir"
