@@ -429,3 +429,33 @@ def test_checkpoint_multi_chunk_pipeline(tmp_path, rng):
     loaded2 = checkpoint.load_index(d)
     np.testing.assert_array_equal(
         coord.search(q, 5)[0], loaded2.search(q, 5)[0])
+
+
+def test_async_flush_fail_stop(tmp_path, rng, monkeypatch):
+    """First async-write failure is sticky: flush_wait raises, later jobs
+    are skipped (fail-stop), and close() still drains without raising."""
+    bs = 256
+    f = PyBlockFile(tmp_path / "g.lmd", bs)
+    a = rng.integers(0, 256, (4, bs)).astype(np.uint8)
+
+    real_write = PyBlockFile.write_blocks
+    calls = {"n": 0}
+
+    def flaky(self, first, blocks):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise IOError("disk gone")
+        return real_write(self, first, blocks)
+
+    monkeypatch.setattr(PyBlockFile, "write_blocks", flaky)
+    f.submit_write(0, a)       # ok
+    f.submit_write(4, a)       # fails
+    j3 = f.submit_write(8, a)  # skipped (fail-stop)
+    with pytest.raises(IOError, match="disk gone"):
+        f.flush_wait(j3)
+    monkeypatch.undo()
+    f.close()  # drains, never raises
+    f2 = PyBlockFile(tmp_path / "g.lmd", bs)
+    np.testing.assert_array_equal(f2.read_blocks(0, 4), a)
+    assert f2.num_blocks == 4  # job 2 failed, job 3 skipped
+    f2.close()
