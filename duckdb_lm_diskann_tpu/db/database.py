@@ -280,6 +280,23 @@ class Database:
             return res, optimized
         return res
 
+    def vector_top_k(self, index_name: str, query, k: int) -> dict:
+        """libSQL's ``vector_top_k(idx_name, vector, k)`` virtual table
+        (vectorIndexInt.h:228-236): top-k row ids by the INDEX's own
+        metric, addressed by index name rather than table/column."""
+        for t in self.tables.values():
+            for name, bidx in t.indexes.items():
+                if name == index_name:
+                    ids, dists = bidx.index.search(
+                        np.asarray(query, np.float32)[None, :], k
+                    )
+                    keep = ids[0] >= 0
+                    return {
+                        "row_ids": ids[0][keep],
+                        "distance": dists[0][keep],
+                    }
+        raise KeyError(f"no index named {index_name}")
+
     # --- table macros (brute force; hnsw_index_macros.cpp:10-113) ---
 
     def lm_diskann_match(

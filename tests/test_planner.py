@@ -365,3 +365,24 @@ class TestJoinOptimizer:
             planner.optimize(lateral(good_order, bad_pred)),
             planner.LogicalExprFilter,
         )
+
+
+def test_vector_top_k_by_index_name(rng):
+    """libSQL's vector_top_k virtual table analog: top-k addressed by
+    index name, using the index's own metric (vectorIndexInt.h:228-236)."""
+    from duckdb_lm_diskann_tpu.db.database import connect
+
+    data = rng.standard_normal((150, 8)).astype(np.float32)
+    db = connect()
+    t = db.create_table("x", {"vec": data})
+    db.create_index(
+        "byname", t, "vec",
+        options={"metric": "l2", "r": 8, "l_insert": 16, "l_search": 128},
+    )
+    res = db.vector_top_k("byname", data[17] + 0.001, 5)
+    assert 17 in res["row_ids"].tolist()
+    assert len(res["row_ids"]) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        db.vector_top_k("nope", data[0], 3)
