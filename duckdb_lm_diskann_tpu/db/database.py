@@ -351,6 +351,10 @@ class Database:
                     "approx_memory_size": info["in_memory_size"],
                     "block_size": info["block_size"],
                     "pending_deletes": len(coord.allocator.pending_deletion),
+                    # The reference's level_stats analog for a flat graph:
+                    # live out-degree distribution (hnsw_index_pragmas.cpp
+                    # :87-150 reports per-level node counts).
+                    "degree_stats": _degree_stats(coord),
                     "last_search": st.explain() if st else None,
                 })
         return rows
@@ -430,6 +434,24 @@ class Database:
             self._ckpt_thread = None
         if final_checkpoint and self.path is not None:
             self.checkpoint()
+
+
+def _degree_stats(coord) -> dict:
+    """Live out-degree distribution, computed on device (one reduce)."""
+    if coord.count == 0:
+        return {"mean": 0.0, "min": 0, "max": 0}
+    import jax.numpy as jnp
+
+    deg = (coord.arrays.neighbors >= 0).sum(axis=-1)
+    deg = jnp.where(coord.arrays.valid, deg, -1)
+    live = deg >= 0
+    total = jnp.sum(jnp.where(live, deg, 0))
+    n = jnp.maximum(jnp.sum(live), 1)
+    return {
+        "mean": round(float(total) / float(n), 2),
+        "min": int(jnp.min(jnp.where(live, deg, coord.params.r))),
+        "max": int(jnp.max(jnp.where(live, deg, 0))),
+    }
 
 
 def index_metric_or_default(table: Table, column: str) -> MetricType:
