@@ -105,25 +105,35 @@ class EdgeType(enum.Enum):
     (index_config.cpp:93-99); libSQL supports several compression types
     (FLOAT32/FLOAT16/FLOAT8/FLOAT1BIT, vectorIndexInt.h:150-157) and the
     earlier monolithic port enumerates SAME_AS_NODE/F32/F16/INT8/FLOAT1BIT
-    (libsql/lm_diskann.hpp:56-62). We support the TPU-friendly subset:
+    (libsql/lm_diskann.hpp:56-62). Supported here:
 
-      TERNARY  - 2 sign bit-planes, popcount dot (cos/IP only, like the ref)
-      INT8     - per-edge abs-max scaled int8 (works for all metrics)
-      INT4     - per-edge abs-max scaled 4-bit codes, two per byte: half the
-                 HBM and half the gather bandwidth of INT8 (works for all
-                 metrics; still finer than the reference's 2-bit ternary).
-                 The TPU-native choice for large L2 indexes — at 1M x R=64
-                 x 128d the INT8 edge cache alone is ~8 GB
-      FLOAT32  - uncompressed copy (works for all metrics)
-      NONE     - no cached edge vectors; traversal gathers neighbor vectors
-                 and scores them exactly (the C++ core Searcher's behavior,
-                 core/Searcher.cpp:168-173)
+      TERNARY   - 2 sign bit-planes, popcount dot (cos/IP only, like the ref)
+      INT8      - per-edge abs-max scaled int8 (works for all metrics)
+      INT4      - per-edge abs-max scaled 4-bit codes, two per byte: half the
+                  HBM and half the gather bandwidth of INT8 (works for all
+                  metrics; still finer than the reference's 2-bit ternary).
+                  The TPU-native choice for large L2 indexes — at 1M x R=64
+                  x 128d the INT8 edge cache alone is ~8 GB
+      FLOAT32   - uncompressed copy (works for all metrics)
+      FLOAT16   - half-precision copy (libSQL F16, lm_diskann.hpp:58; works
+                  for all metrics, half FLOAT32's HBM/gather bandwidth)
+      FLOAT1BIT - 1 sign bit per dimension (libSQL FLOAT1BIT,
+                  lm_diskann.hpp:61); cosine only, exactly libSQL's rule
+                  ("1-bit compression available only for cosine metric",
+                  vectordiskann.c:518). The libSQL monolithic port left its
+                  distance a FIXME (lm_diskann.cpp:900-902); here it is a
+                  real XOR+popcount signed dot
+      NONE      - no cached edge vectors; traversal gathers neighbor vectors
+                  and scores them exactly (the C++ core Searcher's behavior,
+                  core/Searcher.cpp:168-173)
     """
 
     TERNARY = "ternary"
     INT8 = "int8"
     INT4 = "int4"
     FLOAT32 = "float32"
+    FLOAT16 = "float16"
+    FLOAT1BIT = "float1bit"
     NONE = "none"
 
     @classmethod

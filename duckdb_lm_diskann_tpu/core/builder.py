@@ -173,6 +173,15 @@ def write_neighbor_rows(
     elif et is EdgeType.FLOAT32:
         vecs = jnp.where(nbr_ok[..., None], nbr_vecs, 0.0)
         new["edge_f32"] = arrays.edge_f32.at[tgt].set(vecs, mode="drop")
+    elif et is EdgeType.FLOAT16:
+        vecs = jnp.where(nbr_ok[..., None], nbr_vecs, 0.0).astype(jnp.float16)
+        new["edge_f32"] = arrays.edge_f32.at[tgt].set(vecs, mode="drop")
+    elif et is EdgeType.FLOAT1BIT:
+        # libSQL FLOAT1BIT: one sign bit per dimension (lm_diskann.hpp:61).
+        # The sign plane equals TERNARY's positive plane (bit set iff v > 0).
+        pos, _ = encode_ternary(nbr_vecs)  # [T, R, W]
+        pos = jnp.where(nbr_ok[..., None], pos, jnp.uint32(0))
+        new["edge_pos"] = arrays.edge_pos.at[tgt].set(pos, mode="drop")
     # EdgeType.NONE: nothing cached.
     return arrays._replace(**new)
 

@@ -261,6 +261,15 @@ class LmDiskannConfig:
                 "LM_DISKANN with TERNARY neighbors is not compatible with "
                 "METRIC 'L2'. Use COSINE or IP (or edge_type INT8/FLOAT32)."
             )
+        # libSQL's rule verbatim: "1-bit compression available only for
+        # cosine metric" (vectordiskann.c:518).
+        if (
+            self.resolve_edge_type() is EdgeType.FLOAT1BIT
+            and self.metric_type is not MetricType.COSINE
+        ):
+            raise ValueError(
+                "1-bit compression available only for cosine metric"
+            )
 
 
 # WITH-option keys accepted by parse_options, mirroring the set parsed in

@@ -57,12 +57,12 @@ class GraphArrays(NamedTuple):
     vectors: jnp.ndarray  # f32[C, D] — or i8[C, D] for INT8 node vectors
     neighbors: jnp.ndarray  # i32[C, R]
     valid: jnp.ndarray  # bool[C]
-    edge_pos: jnp.ndarray  # u32[C, R, W]  (TERNARY) else [C, 0, 0]
+    edge_pos: jnp.ndarray  # u32[C, R, W]  (TERNARY; sign plane for FLOAT1BIT) else [C, 0, 0]
     edge_neg: jnp.ndarray  # u32[C, R, W]  (TERNARY) else [C, 0, 0]
     edge_i8: jnp.ndarray  # i8[C, R, D]   (INT8)    else [C, 0, 0]
     edge_i4: jnp.ndarray  # u8[C, R, ceil(D/2)] (INT4) else [C, 0, 0]
     edge_scale: jnp.ndarray  # f32[C, R]   (INT8/INT4) else [C, 0]
-    edge_f32: jnp.ndarray  # f32[C, R, D]  (FLOAT32) else [C, 0, 0]
+    edge_f32: jnp.ndarray  # f32[C, R, D] (FLOAT32) / f16[C, R, D] (FLOAT16) else [C, 0, 0]
     # Rows mutated since the last checkpoint (the V2 design's dirty-block
     # ring, Consolidated Proposal:96-107): store_vectors/write_neighbor_rows
     # set it, deletes set it, checkpoint persists only dirty blocks and
@@ -149,23 +149,29 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
     d, r, w = params.dims, params.r, params.words
     et = params.edge_type
     tern = et is EdgeType.TERNARY
+    onebit = et is EdgeType.FLOAT1BIT  # single sign plane in edge_pos
     i8 = et is EdgeType.INT8
     i4 = et is EdgeType.INT4
     f32 = et is EdgeType.FLOAT32
+    f16 = et is EdgeType.FLOAT16
     dh = (d + 1) // 2
     vec_dtype = (
         jnp.int8 if params.node_vtype is VectorType.INT8 else jnp.float32
     )
+    pos = tern or onebit
     return GraphArrays(
         vectors=jnp.zeros((capacity, d), vec_dtype),
         neighbors=jnp.full((capacity, r), -1, jnp.int32),
         valid=jnp.zeros((capacity,), jnp.bool_),
-        edge_pos=jnp.zeros((capacity, r if tern else 0, w if tern else 0), jnp.uint32),
+        edge_pos=jnp.zeros((capacity, r if pos else 0, w if pos else 0), jnp.uint32),
         edge_neg=jnp.zeros((capacity, r if tern else 0, w if tern else 0), jnp.uint32),
         edge_i8=jnp.zeros((capacity, r if i8 else 0, d if i8 else 0), jnp.int8),
         edge_i4=jnp.zeros((capacity, r if i4 else 0, dh if i4 else 0), jnp.uint8),
         edge_scale=jnp.zeros((capacity, r if (i8 or i4) else 0), jnp.float32),
-        edge_f32=jnp.zeros((capacity, r if f32 else 0, d if f32 else 0), jnp.float32),
+        edge_f32=jnp.zeros(
+            (capacity, r if (f32 or f16) else 0, d if (f32 or f16) else 0),
+            jnp.float16 if f16 else jnp.float32,
+        ),
         dirty_rows=jnp.zeros((capacity,), jnp.bool_),
     )
 

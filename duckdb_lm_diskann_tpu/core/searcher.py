@@ -190,10 +190,28 @@ def _score_edges(
         scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = decode_int4(packed, scale, params.dims)
         return pairwise_distance(queries[:, None, None, :], vecs, params.metric)
-    if et is EdgeType.FLOAT32:
+    if et is EdgeType.FLOAT32 or et is EdgeType.FLOAT16:
         return pairwise_distance(
-            queries[:, None, None, :], arrays.edge_f32[cur], params.metric
+            queries[:, None, None, :],
+            arrays.edge_f32[cur].astype(jnp.float32),
+            params.metric,
         )
+    if et is EdgeType.FLOAT1BIT:
+        # Binarized signed dot (the distance libSQL's monolithic port left a
+        # FIXME, lm_diskann.cpp:900-902): with sign bits qb/vb (bit = v > 0),
+        # dot over +/-1 values = D - 2*pop(qb XOR vb). Padding bits are zero
+        # in both planes, so XOR over whole words is exact. Cosine-only
+        # (vectordiskann.c:518); the monotone 1 - dot map preserves ordering
+        # and the final pass re-ranks exactly, same as TERNARY.
+        e_pos = arrays.edge_pos[cur]  # [B, E, R, W]
+        mismatch = jnp.sum(
+            jax.lax.population_count(q_pos[:, None, None, :] ^ e_pos).astype(
+                jnp.int32
+            ),
+            axis=-1,
+        )
+        sim = (params.dims - 2 * mismatch).astype(jnp.float32)
+        return similarity_to_distance(sim, params.metric)
     # EdgeType.NONE: exact traversal — gather the neighbors' own vectors
     # (the C++ Searcher behavior, core/Searcher.cpp:168-173).
     safe_nbrs = jnp.maximum(nbrs, 0)
@@ -243,7 +261,7 @@ def beam_search(
     if S > L:
         raise ValueError("seed count exceeds l_search")
 
-    if params.edge_type is EdgeType.TERNARY:
+    if params.edge_type in (EdgeType.TERNARY, EdgeType.FLOAT1BIT):
         q_pos, q_neg = encode_ternary(queries)
     else:  # placeholders keep the pytree static
         q_pos = q_neg = jnp.zeros((B, 1), jnp.uint32)

@@ -80,6 +80,14 @@ def resolve_layout(config: LmDiskannConfig) -> ExtendedLayout:
     if et is EdgeType.FLOAT32:
         total = base.neighbor_pos_planes_offset + r * d * 4
         return ExtendedLayout(base, et, 0, align_value(total, SECTOR_SIZE))
+    if et is EdgeType.FLOAT16:
+        total = base.neighbor_pos_planes_offset + r * d * 2
+        return ExtendedLayout(base, et, 0, align_value(total, SECTOR_SIZE))
+    if et is EdgeType.FLOAT1BIT:
+        # One sign plane per neighbor — exactly the reference's pos-plane
+        # region; the neg-plane region is simply absent.
+        total = base.neighbor_pos_planes_offset + r * ternary_plane_size_bytes(d)
+        return ExtendedLayout(base, et, 0, align_value(total, SECTOR_SIZE))
     raise ValueError(et)
 
 
@@ -145,6 +153,17 @@ def encode_blocks(
         ev = ev.reshape(n, r * d * 4)
         off = base.neighbor_pos_planes_offset
         out[:, off : off + r * d * 4] = ev
+    elif et is EdgeType.FLOAT16:
+        ev = np.ascontiguousarray(edge_f32.astype(np.float16)).view(np.uint8)
+        ev = ev.reshape(n, r * d * 2)
+        off = base.neighbor_pos_planes_offset
+        out[:, off : off + r * d * 2] = ev
+    elif et is EdgeType.FLOAT1BIT:
+        plane = ternary_plane_size_bytes(d)
+        a = np.ascontiguousarray(edge_pos.astype(np.uint32)).view(np.uint8)
+        a = a.reshape(n, -1)[:, : r * plane]
+        off = base.neighbor_pos_planes_offset
+        out[:, off : off + a.shape[1]] = a
     # NONE: nothing cached.
     return out
 
@@ -192,5 +211,17 @@ def decode_blocks(config: LmDiskannConfig, blocks: np.ndarray) -> dict:
         off = base.neighbor_pos_planes_offset
         out["edge_f32"] = (
             blocks[:, off : off + 4 * r * d].copy().view(np.float32).reshape(n, r, d)
+        )
+    elif et is EdgeType.FLOAT16:
+        off = base.neighbor_pos_planes_offset
+        out["edge_f32"] = (
+            blocks[:, off : off + 2 * r * d].copy().view(np.float16).reshape(n, r, d)
+        )
+    elif et is EdgeType.FLOAT1BIT:
+        plane = ternary_plane_size_bytes(d)
+        w32 = plane // 4
+        off = base.neighbor_pos_planes_offset
+        out["edge_pos"] = (
+            blocks[:, off : off + r * plane].copy().view(np.uint32).reshape(n, r, w32)
         )
     return out

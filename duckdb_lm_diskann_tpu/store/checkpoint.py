@@ -165,8 +165,10 @@ def save_index(
             elif et is EdgeType.INT4:
                 kw["edge_i4"] = pull(arrays.edge_i4)
                 kw["edge_scale"] = pull(arrays.edge_scale)
-            elif et is EdgeType.FLOAT32:
+            elif et is EdgeType.FLOAT32 or et is EdgeType.FLOAT16:
                 kw["edge_f32"] = pull(arrays.edge_f32)
+            elif et is EdgeType.FLOAT1BIT:
+                kw["edge_pos"] = pull(arrays.edge_pos)
             blocks = encode_blocks(coord.config, vectors, nbr_rowids, **kw)
             blocks[~valid] = 0
             return blocks, bf.crc32_rows(blocks)
@@ -355,8 +357,10 @@ def load_index(
             elif et is EdgeType.INT4:
                 new["edge_i4"] = host_pad("edge_i4", decoded["edge_i4"])
                 new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
-            elif et is EdgeType.FLOAT32:
+            elif et is EdgeType.FLOAT32 or et is EdgeType.FLOAT16:
                 new["edge_f32"] = host_pad("edge_f32", decoded["edge_f32"])
+            elif et is EdgeType.FLOAT1BIT:
+                new["edge_pos"] = host_pad("edge_pos", decoded["edge_pos"])
         coord.arrays = arrays._replace(**new)
 
         entry_rowid = shadow.get_metadata("entry_rowid", INVALID_ROW_ID)

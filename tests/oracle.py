@@ -95,6 +95,10 @@ class OracleGraph:
         if self.edge_type is EdgeType.INT4:
             c, s = encode_int4_np(vec[None, :])
             return (c[0], s[0])
+        if self.edge_type is EdgeType.FLOAT16:
+            return np.asarray(vec, np.float16).copy()
+        if self.edge_type is EdgeType.FLOAT1BIT:
+            return encode_ternary_np(vec[None, :])[0][0]  # sign plane only
         if self.edge_type in (EdgeType.FLOAT32, EdgeType.NONE):
             return np.asarray(vec, np.float32).copy()
         raise ValueError(self.edge_type)
@@ -117,6 +121,16 @@ class OracleGraph:
                 code[0][None, :], np.asarray([code[1]]), self.dims
             )[0]
             return exact_distance(query, vec, self.metric)
+        if self.edge_type is EdgeType.FLOAT16:
+            return exact_distance(query, code.astype(np.float32), self.metric)
+        if self.edge_type is EdgeType.FLOAT1BIT:
+            # Signed binarized dot: D - 2*popcount(q_bits XOR v_bits)
+            # (cosine only, vectordiskann.c:518; distance = 1 - dot, the
+            # same monotone map the device path uses).
+            qp = encode_ternary_np(query[None, :])[0][0]
+            x = qp ^ code
+            mism = sum(bin(int(w)).count("1") for w in x)
+            return 1.0 - float(self.dims - 2 * mism)
         return exact_distance(query, code, self.metric)
 
     # --- search (diskAnnSearchInternal, vectordiskann.c:1283-1400) ---

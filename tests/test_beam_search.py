@@ -80,6 +80,8 @@ CASES = [
     (MetricType.L2, EdgeType.INT8),
     (MetricType.L2, EdgeType.INT4),
     (MetricType.L2, EdgeType.FLOAT32),
+    (MetricType.L2, EdgeType.FLOAT16),  # libSQL F16 (lm_diskann.hpp:58)
+    (MetricType.COSINE, EdgeType.FLOAT1BIT),  # libSQL 1-bit (vectordiskann.c:518)
     (MetricType.COSINE, EdgeType.NONE),  # C++ Searcher exact-traversal mode
 ]
 

@@ -89,6 +89,19 @@ def test_ternary_l2_rejected_but_int8_l2_allowed():
     assert c3.resolve_edge_type() is EdgeType.TERNARY
 
 
+def test_float1bit_cosine_only():
+    # libSQL: "1-bit compression available only for cosine metric"
+    # (vectordiskann.c:518).
+    for metric in (MetricType.L2, MetricType.IP):
+        c = _valid(metric=metric, edge_type=EdgeType.FLOAT1BIT)
+        with pytest.raises(ValueError, match="only for cosine"):
+            c.validate()
+    _valid(metric=MetricType.COSINE, edge_type=EdgeType.FLOAT1BIT).validate()
+    # FLOAT16 edges (libSQL F16) are metric-agnostic, like FLOAT32.
+    for metric in (MetricType.L2, MetricType.IP, MetricType.COSINE):
+        _valid(metric=metric, edge_type=EdgeType.FLOAT16).validate()
+
+
 def test_words_per_plane():
     # WordsPerPlane = ceil(d/64); u32 device planes are the LE split.
     assert words_per_plane_u64(128) == 2

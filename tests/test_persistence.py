@@ -42,6 +42,8 @@ def make_config(metric=MetricType.COSINE, edge_type=None, dims=16, r=8):
     (MetricType.L2, EdgeType.INT8),
     (MetricType.L2, EdgeType.INT4),
     (MetricType.L2, EdgeType.FLOAT32),
+    (MetricType.L2, EdgeType.FLOAT16),
+    (MetricType.COSINE, EdgeType.FLOAT1BIT),
 ])
 def test_codec_roundtrip(rng, metric, edge_type):
     cfg = make_config(metric, edge_type)
@@ -58,6 +60,10 @@ def test_codec_roundtrip(rng, metric, edge_type):
     elif edge_type is EdgeType.INT4:
         from duckdb_lm_diskann_tpu.ops.quantize import encode_int4_np
         kw["edge_i4"], kw["edge_scale"] = encode_int4_np(nbr_vecs)
+    elif edge_type is EdgeType.FLOAT16:
+        kw["edge_f32"] = nbr_vecs.astype(np.float16)
+    elif edge_type is EdgeType.FLOAT1BIT:
+        kw["edge_pos"] = encode_ternary_np(nbr_vecs)[0]
     else:
         kw["edge_f32"] = nbr_vecs
     blocks = block_codec.encode_blocks(cfg, vectors, ids, **kw)
@@ -78,8 +84,13 @@ def test_codec_roundtrip(rng, metric, edge_type):
     elif edge_type is EdgeType.INT4:
         np.testing.assert_array_equal(out["edge_i4"], kw["edge_i4"])
         np.testing.assert_array_equal(out["edge_scale"], kw["edge_scale"])
+    elif edge_type is EdgeType.FLOAT1BIT:
+        np.testing.assert_array_equal(out["edge_pos"], kw["edge_pos"])
     else:
         np.testing.assert_array_equal(out["edge_f32"], kw["edge_f32"])
+        assert out["edge_f32"].dtype == (
+            np.float16 if edge_type is EdgeType.FLOAT16 else np.float32
+        )
 
 
 def test_codec_reference_layout_positions(rng):
@@ -188,6 +199,8 @@ def test_shadow_delta_log_and_metadata(tmp_path):
 @pytest.mark.parametrize("metric,edge_type", [
     (MetricType.COSINE, EdgeType.TERNARY),
     (MetricType.L2, EdgeType.INT8),
+    (MetricType.L2, EdgeType.FLOAT16),
+    (MetricType.COSINE, EdgeType.FLOAT1BIT),
 ])
 def test_save_load_roundtrip(tmp_path, rng, metric, edge_type):
     cfg = make_config(metric, edge_type)
