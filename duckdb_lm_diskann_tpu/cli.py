@@ -47,6 +47,8 @@ def cmd_build(args) -> int:
             options[key] = v
     if args.alpha:
         options["alpha"] = args.alpha
+    if args.edge_type:
+        options["edge_type"] = args.edge_type
     config = parse_options(options)
     config.dimensions = vectors.shape[1]
     config.node_vector_type = derive_vector_type(vectors)
@@ -149,6 +151,77 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Query benchmark against a built index: QPS, recall@k (vs brute force
+    over the index's own vectors, or a supplied ground-truth .npy), and
+    per-batch latency percentiles — the CLI face of the M6 bench surface
+    (SURVEY §7.2), reporting the BASELINE.json north-star metrics."""
+    import jax.numpy as jnp
+
+    from .ops.distance import pairwise_distance
+
+    coord, _ = _load_index(args)
+    queries = np.load(args.queries).astype(np.float32)
+    n_q = len(queries)
+    k = args.k
+    l_search = args.l_search or None
+
+    # Ground truth: supplied file, else exact brute force on the MXU.
+    if args.ground_truth:
+        gt = np.load(args.ground_truth)[:, :k]
+    else:
+        valid = np.asarray(coord.arrays.valid)
+        vecs = np.asarray(coord.arrays.vectors, np.float32)
+        rowids = coord.allocator.rowids_array(coord.capacity)
+        gt = np.empty((n_q, k), np.int64)
+        chunk = max(1, 2**22 // max(1, coord.capacity))
+        for i in range(0, n_q, chunk):
+            dm = np.array(
+                pairwise_distance(
+                    jnp.asarray(queries[i : i + chunk, None, :]),
+                    jnp.asarray(vecs[None, :, :]),
+                    coord.config.metric_type,
+                )
+            )
+            dm[:, ~valid] = np.inf
+            idx = np.argsort(dm, axis=1)[:, :k]
+            gt[i : i + chunk] = rowids[idx]
+
+    ids, _ = coord.search(queries[: min(n_q, args.batch)], k, l_search=l_search)  # warmup/compile
+
+    batch = args.batch
+    lat_ms = []
+    all_ids = np.empty((n_q, k), np.int64)
+    t0 = time.perf_counter()
+    for i in range(0, n_q, batch):
+        tb = time.perf_counter()
+        ids, _ = coord.search(queries[i : i + batch], k, l_search=l_search)
+        lat_ms.append((time.perf_counter() - tb) * 1e3)
+        all_ids[i : i + batch] = ids
+    elapsed = time.perf_counter() - t0
+
+    recall = float(
+        np.mean(
+            [len(set(all_ids[i]) & set(gt[i])) / k for i in range(n_q)]
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "queries": n_q,
+                "k": k,
+                "l_search": l_search or coord.config.l_search,
+                "batch": batch,
+                "qps": round(n_q / elapsed, 1),
+                "recall_at_k": round(recall, 4),
+                "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
+                "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="duckdb_lm_diskann_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +236,7 @@ def main(argv=None) -> int:
     b.add_argument("--l-insert", dest="l_insert", type=int, default=0)
     b.add_argument("--l-search", dest="l_search", type=int, default=0)
     b.add_argument("--alpha", type=float, default=0.0)
+    b.add_argument("--edge-type", dest="edge_type", default="")
     b.add_argument("--batch", type=int, default=1024)
     b.set_defaults(fn=cmd_build)
 
@@ -174,6 +248,16 @@ def main(argv=None) -> int:
     s.add_argument("--l-search", dest="l_search", type=int, default=0)
     s.add_argument("--out")
     s.set_defaults(fn=cmd_search)
+
+    bn = sub.add_parser("bench")
+    bn.add_argument("--db", required=True)
+    bn.add_argument("--index", required=True)
+    bn.add_argument("--queries", required=True)
+    bn.add_argument("--k", type=int, default=10)
+    bn.add_argument("--l-search", dest="l_search", type=int, default=0)
+    bn.add_argument("--ground-truth", dest="ground_truth", default="")
+    bn.add_argument("--batch", type=int, default=256)
+    bn.set_defaults(fn=cmd_bench)
 
     for name, fn in (("info", cmd_info), ("compact", cmd_compact),
                      ("verify", cmd_verify)):
