@@ -472,3 +472,136 @@ def test_async_flush_fail_stop(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(f2.read_blocks(0, 4), a)
     assert f2.num_blocks == 4  # job 2 failed, job 3 skipped
     f2.close()
+
+
+# --------------------------------------------------------------------- #
+# systematic crash-point fault injection (the harness the reference's V2
+# design calls for but never built — SURVEY §5 "No fault-injection harness
+# exists"; recovery protocol at Consolidated Proposal:190-209)
+
+
+class _CrashPoint(Exception):
+    pass
+
+
+class _FaultyBlockFile:
+    """Wraps a block file; raises _CrashPoint once the mutation budget is
+    spent — simulating process death at an arbitrary write-op boundary."""
+
+    MUTATORS = {"write_blocks", "write_blocks_at", "truncate", "mark_dirty",
+                "submit_write", "submit_write_at"}
+
+    def __init__(self, inner, budget_box):
+        self._inner = inner
+        self._box = budget_box
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in self.MUTATORS:
+            def guarded(*a, **k):
+                if self._box[0] <= 0:
+                    raise _CrashPoint(name)
+                self._box[0] -= 1
+                return attr(*a, **k)
+            return guarded
+        return attr
+
+
+def test_crash_at_every_write_boundary_recovers(tmp_path, rng, monkeypatch):
+    """Sweep ALL write-op boundaries of an incremental checkpoint: a crash
+    at any of them must leave a loadable index (no corruption report — every
+    block matches its committed or staged CRC) whose recovery replays the
+    delta log to the exact expected membership."""
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((40, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(40)), data)
+    d0 = tmp_path / "idx"
+    checkpoint.save_index(coord, d0)
+
+    coord.shadow_service = ShadowStorageService(d0)
+    new_vec = rng.standard_normal((1, cfg.dimensions)).astype(np.float32)
+    coord.insert([50], new_vec)
+    coord.delete([3])
+    coord.shadow_service.close()
+    coord.shadow_service = None
+
+    import shutil
+
+    real_open = checkpoint.open_block_file
+    box = [0]
+
+    def faulty_open(*a, **k):
+        return _FaultyBlockFile(real_open(*a, **k), box)
+
+    want_rowids = (set(range(40)) - {3}) | {50}
+    crashed_at = 0
+    for budget in range(0, 64):
+        dn = tmp_path / f"idx_b{budget}"
+        shutil.copytree(d0, dn)
+        box[0] = budget
+        monkeypatch.setattr(checkpoint, "open_block_file", faulty_open)
+        try:
+            checkpoint.save_index(coord, dn)
+            survived = True
+        except _CrashPoint:
+            survived = False
+            crashed_at = budget
+        finally:
+            monkeypatch.setattr(checkpoint, "open_block_file", real_open)
+
+        # Loads cleanly at EVERY crash point (never a corruption report).
+        loaded = checkpoint.load_index(dn)
+        if survived:
+            assert not loaded.needs_recovery
+            assert set(loaded.allocator.rowid_to_slot) == want_rowids
+            break
+        if loaded.needs_recovery:
+            # Crash before phase-2 commit: replay the delta log.
+            primary = PrimaryStorageService.from_array([50], new_vec)
+            assert checkpoint.recover(loaded, primary, dn) >= 1
+            assert set(loaded.allocator.rowid_to_slot) == want_rowids
+            clean = checkpoint.load_index(dn)
+            assert not clean.needs_recovery
+        else:
+            # Crash between phase-2 commit and the clean-shutdown mark:
+            # the checkpoint is already durable, nothing to replay.
+            clean = loaded
+        assert set(clean.allocator.rowid_to_slot) == want_rowids
+        ids, _ = clean.search(data[7:8], 1)
+        assert int(np.asarray(ids).ravel()[0]) == 7
+    else:
+        pytest.fail("fault budget never let the checkpoint complete")
+    assert crashed_at >= 2  # the sweep actually exercised multiple points
+
+
+def test_torn_block_write_detected_as_corruption(tmp_path, rng):
+    """A block torn MID-write (matches neither committed nor staged CRC)
+    must surface as IndexCorruptionError + broken flag — the mark-broken /
+    rebuild-from-base-table last resort (Proposal:429,440)."""
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((30, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(30)), data)
+    d = tmp_path / "idx"
+    checkpoint.save_index(coord, d)
+
+    layout = block_codec.resolve_layout(cfg)
+    with open(d / "graph.lmd", "r+b") as f:
+        # Header is 4096 B; tear the middle of block 5.
+        f.seek(4096 + 5 * layout.block_size + layout.block_size // 2)
+        f.write(b"\xa5" * 64)
+    with pytest.raises(checkpoint.IndexCorruptionError, match="block"):
+        checkpoint.load_index(d)
+    # Marked broken: even a pristine re-read now refuses fast.
+    with pytest.raises(checkpoint.IndexCorruptionError, match="broken"):
+        checkpoint.load_index(d)
+    # Last resort: rebuild from the base table.
+    rebuilt = checkpoint.rebuild_from_primary(
+        cfg, PrimaryStorageService.from_array(list(range(30)), data),
+        list(range(30)), d,
+    )
+    assert rebuilt.count == 30
+    clean = checkpoint.load_index(d)
+    ids, _ = clean.search(data[11:12], 1)
+    assert int(np.asarray(ids).ravel()[0]) == 11
