@@ -294,6 +294,22 @@ def run_config(
         "qps_at_recall95": qps_at_95,
     }
 
+    # Roofline accounting (SURVEY M5): irreducible HBM bytes per hop vs the
+    # chip's bandwidth -> speed-of-light QPS; sol_fraction is the headroom
+    # left to kernel/overhead work (1.0 = bandwidth-bound perfection).
+    from duckdb_lm_diskann_tpu.utils.roofline import device_hbm_gbps, hop_roofline
+
+    rl = hop_roofline(
+        coord.params,
+        batch=batch,
+        l_search=L,
+        beam_width=width,
+        mean_visits=mean_visits,
+        hbm_gbps=device_hbm_gbps(jax.devices()[0].device_kind),
+    )
+    out["roofline"] = rl.as_dict()
+    out["sol_fraction"] = round(qps / rl.sol_qps, 4) if rl.sol_qps else None
+
     if n_deletes:
         # Per-row delete latency (paper Table IV: LM-DiskANN ~45 ms/row).
         del_ids = rng.choice(n, n_deletes, replace=False).tolist()
