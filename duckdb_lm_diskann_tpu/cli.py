@@ -158,28 +158,31 @@ def cmd_bench(args) -> int:
     (SURVEY §7.2), reporting the BASELINE.json north-star metrics."""
     import jax.numpy as jnp
 
-    from .ops.distance import pairwise_distance
+    from .ops.distance import all_pairs_distance
 
     coord, _ = _load_index(args)
     queries = np.load(args.queries).astype(np.float32)
     n_q = len(queries)
     k = args.k
     l_search = args.l_search or None
+    batch = args.batch
 
-    # Ground truth: supplied file, else exact brute force on the MXU.
+    # Ground truth: supplied file, else exact brute force — one
+    # [B, D] @ [D, N] matmul per chunk on the MXU (O(B*N) memory, base
+    # matrix uploaded once).
     if args.ground_truth:
         gt = np.load(args.ground_truth)[:, :k]
     else:
         valid = np.asarray(coord.arrays.valid)
-        vecs = np.asarray(coord.arrays.vectors, np.float32)
         rowids = coord.allocator.rowids_array(coord.capacity)
+        base = jnp.asarray(np.asarray(coord.arrays.vectors, np.float32))
         gt = np.empty((n_q, k), np.int64)
-        chunk = max(1, 2**22 // max(1, coord.capacity))
+        chunk = max(1, 2**24 // max(1, coord.capacity))
         for i in range(0, n_q, chunk):
             dm = np.array(
-                pairwise_distance(
-                    jnp.asarray(queries[i : i + chunk, None, :]),
-                    jnp.asarray(vecs[None, :, :]),
+                all_pairs_distance(
+                    jnp.asarray(queries[i : i + chunk]),
+                    base,
                     coord.config.metric_type,
                 )
             )
@@ -187,22 +190,30 @@ def cmd_bench(args) -> int:
             idx = np.argsort(dm, axis=1)[:, :k]
             gt[i : i + chunk] = rowids[idx]
 
-    ids, _ = coord.search(queries[: min(n_q, args.batch)], k, l_search=l_search)  # warmup/compile
+    # Pad the query set to a batch multiple: a ragged final batch would
+    # retrace + recompile INSIDE the timed loop and corrupt p99/QPS.
+    n_pad = (-n_q) % batch
+    if n_pad:
+        queries = np.concatenate([queries, queries[:1].repeat(n_pad, 0)])
+    coord.search(queries[:batch], k, l_search=l_search)  # warmup/compile
 
-    batch = args.batch
     lat_ms = []
-    all_ids = np.empty((n_q, k), np.int64)
+    all_ids = np.empty((len(queries), k), np.int64)
     t0 = time.perf_counter()
-    for i in range(0, n_q, batch):
+    for i in range(0, len(queries), batch):
         tb = time.perf_counter()
         ids, _ = coord.search(queries[i : i + batch], k, l_search=l_search)
         lat_ms.append((time.perf_counter() - tb) * 1e3)
         all_ids[i : i + batch] = ids
     elapsed = time.perf_counter() - t0
 
+    # -1 is the empty-result sentinel on both sides; never count it a hit.
     recall = float(
         np.mean(
-            [len(set(all_ids[i]) & set(gt[i])) / k for i in range(n_q)]
+            [
+                len(set(all_ids[i]) & set(gt[i]) - {-1}) / k
+                for i in range(n_q)
+            ]
         )
     )
     print(
@@ -212,7 +223,7 @@ def cmd_bench(args) -> int:
                 "k": k,
                 "l_search": l_search or coord.config.l_search,
                 "batch": batch,
-                "qps": round(n_q / elapsed, 1),
+                "qps": round(len(queries) / elapsed, 1),
                 "recall_at_k": round(recall, 4),
                 "p50_batch_ms": round(float(np.percentile(lat_ms, 50)), 2),
                 "p99_batch_ms": round(float(np.percentile(lat_ms, 99)), 2),

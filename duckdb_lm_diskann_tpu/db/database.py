@@ -284,18 +284,31 @@ class Database:
         """libSQL's ``vector_top_k(idx_name, vector, k)`` virtual table
         (vectorIndexInt.h:228-236): top-k row ids by the INDEX's own
         metric, addressed by index name rather than table/column."""
-        for t in self.tables.values():
-            for name, bidx in t.indexes.items():
-                if name == index_name:
-                    ids, dists = bidx.index.search(
-                        np.asarray(query, np.float32)[None, :], k
-                    )
-                    keep = ids[0] >= 0
-                    return {
-                        "row_ids": ids[0][keep],
-                        "distance": dists[0][keep],
-                    }
-        raise KeyError(f"no index named {index_name}")
+        matches = [
+            (t, bidx)
+            for t in self.tables.values()
+            for name, bidx in t.indexes.items()
+            if name == index_name
+        ]
+        if not matches:
+            raise KeyError(f"no index named {index_name}")
+        if len(matches) > 1:
+            # libSQL index names are globally unique; ours are per-table, so
+            # an ambiguous name must error rather than silently pick one.
+            tables = sorted(t.name for t, _ in matches)
+            raise KeyError(
+                f"index name {index_name!r} is ambiguous (exists on tables "
+                f"{tables}); use table.indexes[...] / knn instead"
+            )
+        _, bidx = matches[0]
+        ids, dists = bidx.index.search(
+            np.asarray(query, np.float32)[None, :], k
+        )
+        keep = ids[0] >= 0
+        return {
+            "row_ids": ids[0][keep],
+            "distance": dists[0][keep],
+        }
 
     # --- table macros (brute force; hnsw_index_macros.cpp:10-113) ---
 
@@ -437,21 +450,24 @@ class Database:
 
 
 def _degree_stats(coord) -> dict:
-    """Live out-degree distribution, computed on device (one reduce)."""
+    """Live out-degree distribution: one device reduce, one host pull."""
     if coord.count == 0:
         return {"mean": 0.0, "min": 0, "max": 0}
     import jax.numpy as jnp
 
     deg = (coord.arrays.neighbors >= 0).sum(axis=-1)
-    deg = jnp.where(coord.arrays.valid, deg, -1)
-    live = deg >= 0
-    total = jnp.sum(jnp.where(live, deg, 0))
+    live = coord.arrays.valid
     n = jnp.maximum(jnp.sum(live), 1)
-    return {
-        "mean": round(float(total) / float(n), 2),
-        "min": int(jnp.min(jnp.where(live, deg, coord.params.r))),
-        "max": int(jnp.max(jnp.where(live, deg, 0))),
-    }
+    stacked = jnp.stack(
+        [
+            jnp.sum(jnp.where(live, deg, 0)),
+            n,
+            jnp.min(jnp.where(live, deg, coord.params.r)),
+            jnp.max(jnp.where(live, deg, 0)),
+        ]
+    )
+    total, n, lo, hi = np.asarray(stacked).tolist()
+    return {"mean": round(total / n, 2), "min": int(lo), "max": int(hi)}
 
 
 def index_metric_or_default(table: Table, column: str) -> MetricType:

@@ -37,9 +37,10 @@ from ..core.graph import GraphParams
 DEVICE_HBM_GBPS = {
     "v5e": 819.0,
     "v5 lite": 819.0,  # jax device_kind spells v5e "TPU v5 lite"
-    "v4": 1228.0,
     "v5p": 2765.0,
+    "v4": 1228.0,
     "v6e": 1640.0,
+    "v6 lite": 1640.0,  # Trillium device_kind spelling
 }
 DEFAULT_HBM_GBPS = 819.0
 
@@ -111,10 +112,13 @@ def hop_roofline(
     state = beam_state + merge_buf
 
     # Useful arithmetic: exact distance to each visit (2*D FLOPs) + edge
-    # scoring (~2*D per neighbor for dequant codecs; popcount algebra for
-    # bit-plane codecs counted as 1 op/word over 4 planes).
-    if params.edge_type in (EdgeType.TERNARY, EdgeType.FLOAT1BIT):
+    # scoring (~2*D per neighbor for dequant codecs; popcount algebra
+    # counted as 1 op/word-op: TERNARY does 4 AND+popcount plane pairs,
+    # FLOAT1BIT one XOR+popcount).
+    if params.edge_type is EdgeType.TERNARY:
         edge_flops = B * E * R * params.words * 4
+    elif params.edge_type is EdgeType.FLOAT1BIT:
+        edge_flops = B * E * R * params.words * 2
     else:
         edge_flops = B * E * R * 2 * D
     flops = B * E * 2 * D + edge_flops
