@@ -63,7 +63,7 @@ def knockout():
     queries = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
 
     def make_loop(*, sort=True, egather=True, vislog=True, inbeam=True,
-                  vgather=True):
+                  vgather=True, bitonic=False):
         def body(i, s):
             beam_dist, beam_slot, beam_vis, vis_slot, vis_dist, vis_cnt = s
             unvis = (~beam_vis) & (beam_slot >= 0)
@@ -124,12 +124,15 @@ def knockout():
                 new_dist, new_slot, new_vis = topk_ops.merge_beams(
                     beam_dist, beam_slot, cand_dist, cand_slot, L,
                     extras_a=(beam_vis.astype(jnp.int32),),
-                    extras_b=(jnp.zeros_like(cand_slot),))
+                    extras_b=(jnp.zeros_like(cand_slot),),
+                    a_sorted=bitonic)
                 beam_vis = new_vis.astype(jnp.bool_)
             else:
-                new_dist = jnp.minimum(beam_dist, cand_dist[:, :L] * 0.999)
+                m = min(L, cand_dist.shape[1])
+                new_dist = beam_dist.at[:, :m].min(cand_dist[:, :m] * 0.999)
                 new_slot = jnp.where(new_dist < beam_dist,
-                                     cand_slot[:, :L], beam_slot)
+                                     jnp.pad(cand_slot, ((0, 0), (0, max(0, L - m))))[:, :L],
+                                     beam_slot)
             new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)
             return (new_dist, new_slot, beam_vis, vis_slot, vis_dist,
                     vis_cnt)
@@ -154,6 +157,7 @@ def knockout():
              for _ in range(8)]
     for name, kw in [
         ("full", {}),
+        ("full+bitonic", dict(bitonic=True)),
         ("-sort", dict(sort=False)),
         ("-edgegather", dict(egather=False)),
         ("-vislog", dict(vislog=False)),

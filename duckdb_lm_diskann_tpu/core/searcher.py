@@ -402,6 +402,10 @@ def beam_search(
             extras_a=(beam_vis.astype(jnp.int32),),
             extras_b=(jnp.zeros_like(cand_slot),),
             dedup=E > 1,
+            # E == 1: the beam is sorted and in_beam masked the candidates
+            # disjoint -> bitonic fast path (the hop's dominant cost is this
+            # merge; see benchmarks/profile_hop.py knockout).
+            a_sorted=E == 1,
         )
         # Entries that sorted to +inf are empty; normalize their slot to -1.
         new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)

@@ -67,6 +67,97 @@ def dedup_sorted_ids(
     return mask_invalid(dist, ids, ~dup)
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _cmp_swap(arrs, swap, stride, width):
+    """One compare-exchange stage: pair lanes (i, i+stride) inside blocks of
+    2*stride along the last axis; ``swap`` [..., width//2//stride? ] decides.
+    Returns the exchanged arrays. ``swap`` has the paired shape
+    [..., width/(2*stride), stride]."""
+    lead = arrs[0].shape[:-1]
+    out = []
+    for a in arrs:
+        p = a.reshape(*lead, width // (2 * stride), 2, stride)
+        lo, hi = p[..., 0, :], p[..., 1, :]
+        new_lo = jnp.where(swap, hi, lo)
+        new_hi = jnp.where(swap, lo, hi)
+        out.append(
+            jnp.stack([new_lo, new_hi], axis=-2).reshape(*lead, width)
+        )
+    return tuple(out)
+
+
+def _lex_gt(d0, i0, d1, i1):
+    """(d0, i0) > (d1, i1) lexicographic — the pinned (distance, id) order.
+
+    Note: unlike lax.sort's total float order this treats -0.0 == +0.0
+    (exactly like the NumPy oracle's lexsort); distances here are never
+    both-signed zeros in practice (L2/cos are non-negative; IP -0.0 only
+    from an exactly-zero dot)."""
+    return (d0 > d1) | ((d0 == d1) & (i0 > i1))
+
+
+def _bitonic_stage(arrs, stride, width, asc_mask=None):
+    """Compare-exchange at ``stride``; ``asc_mask`` (paired shape, True =
+    ascending block) flips the comparison for descending blocks."""
+    lead = arrs[0].shape[:-1]
+    d = arrs[0].reshape(*lead, width // (2 * stride), 2, stride)
+    i = arrs[1].reshape(*lead, width // (2 * stride), 2, stride)
+    gt = _lex_gt(d[..., 0, :], i[..., 0, :], d[..., 1, :], i[..., 1, :])
+    swap = gt if asc_mask is None else (gt == asc_mask)
+    return _cmp_swap(arrs, swap, stride, width)
+
+
+def bitonic_sort(arrs: tuple, *, descending: bool = False) -> tuple:
+    """Full bitonic sort by (dist, id) lexicographic over the last axis.
+
+    ``arrs`` = (dist, ids, *extras); width must be a power of two. A fused
+    compare-exchange network — every stage is elementwise ops XLA fuses,
+    bypassing the generic variadic sort kernel that dominates hop cost
+    (see benchmarks/profile_hop.py knockout: the sorted merge is the
+    largest single component of the beam-search hop)."""
+    width = arrs[0].shape[-1]
+    assert width & (width - 1) == 0, "bitonic_sort requires pow2 width"
+    lead_ndim = arrs[0].ndim - 1
+    k = 2
+    while k <= width:
+        # Block direction: ascending iff (position // k) is even (flipped
+        # globally for a descending sort).
+        s = k // 2
+        while s >= 1:
+            pos = jnp.arange(width).reshape(width // (2 * s), 2, s)[:, 0, :]
+            asc = (pos // k) % 2 == 0
+            if descending:
+                asc = ~asc
+            asc = asc.reshape((1,) * lead_ndim + asc.shape)
+            arrs = _bitonic_stage(arrs, s, width, asc_mask=asc)
+            s //= 2
+        k *= 2
+    return arrs
+
+
+def bitonic_merge_sorted(arrs_a: tuple, arrs_b_desc: tuple) -> tuple:
+    """Merge an ASCENDING-sorted run A with a DESCENDING-sorted run B into
+    one ascending run: concat(A, B_desc) is bitonic, so log2(n) stages
+    suffice (vs log^2 for a full sort). Widths must sum to a power of two."""
+    width = arrs_a[0].shape[-1] + arrs_b_desc[0].shape[-1]
+    assert width & (width - 1) == 0, "merge width must be pow2"
+    arrs = tuple(
+        jnp.concatenate([a, b], axis=-1)
+        for a, b in zip(arrs_a, arrs_b_desc, strict=True)
+    )
+    s = width // 2
+    while s >= 1:
+        arrs = _bitonic_stage(arrs, s, width)
+        s //= 2
+    return arrs
+
+
 def merge_beams(
     dist_a: jnp.ndarray,
     ids_a: jnp.ndarray,
@@ -77,6 +168,7 @@ def merge_beams(
     extras_a: tuple[jnp.ndarray, ...] = (),
     extras_b: tuple[jnp.ndarray, ...] = (),
     dedup: bool = False,
+    a_sorted: bool = False,
 ) -> tuple[jnp.ndarray, ...]:
     """Merge two (dist, id, extras...) candidate sets, keep the best ``size``.
 
@@ -92,7 +184,39 @@ def merge_beams(
     points at a recycled slot — then re-sorts by (distance, id). Two sorts
     total; callers with E>1 frontier expansion use this instead of an
     O((E*R)^2) pairwise duplicate mask.
+
+    ``a_sorted``: promise that (dist_a, ids_a) is already (dist, id)-sorted
+    ascending AND the two sides share no ids. Enables the bitonic fast
+    path — sort only the candidates (descending), then one log2(n)-stage
+    bitonic merge instead of a full lax.sort over the concatenation. The
+    hop-loop caller (core/searcher.py) qualifies: the beam is maintained
+    sorted and in-beam neighbors are masked out of the candidates.
     """
+    if a_sorted and not dedup:
+        La, Lb = dist_a.shape[-1], dist_b.shape[-1]
+        pb = _next_pow2(Lb)
+        total = _next_pow2(La + pb)
+        pa = total - pb
+
+        def pad(x, width, fill):
+            n = width - x.shape[-1]
+            if n == 0:
+                return x
+            cfg = [(0, 0)] * (x.ndim - 1) + [(0, n)]
+            return jnp.pad(x, cfg, constant_values=fill)
+
+        b = (pad(dist_b, pb, INF), pad(ids_b, pb, -1)) + tuple(
+            pad(e, pb, 0) for e in extras_b
+        )
+        # Descending sort floats the +inf pads to B's front, where the
+        # bitonic merge needs them; they exit at the output tail.
+        b = bitonic_sort(b, descending=True)
+        a = (pad(dist_a, pa, INF), pad(ids_a, pa, -1)) + tuple(
+            pad(e, pa, 0) for e in extras_a
+        )
+        out = bitonic_merge_sorted(a, b)
+        return tuple(o[..., :size] for o in out)
+
     dist = jnp.concatenate([dist_a, dist_b], axis=-1)
     ids = jnp.concatenate([ids_a, ids_b], axis=-1)
     extras = tuple(

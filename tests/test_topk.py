@@ -1,7 +1,10 @@
 """Deterministic top-k / beam-merge primitive tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from duckdb_lm_diskann_tpu.ops import topk as topk_ops
 
 from duckdb_lm_diskann_tpu.ops.topk import (
     dedup_sorted_ids,
@@ -50,3 +53,74 @@ def test_dedup_sorted_ids():
     # Second occurrences masked to (+inf, -1)
     assert np.asarray(i[0]).tolist() == [3, -1, 5, -1, -1]
     assert np.isinf(np.asarray(d[0])[1])
+
+
+def test_bitonic_fast_path_matches_sort_path():
+    """a_sorted=True (bitonic candidate sort + bitonic merge) must produce
+    EXACTLY the lax.sort path's output for disjoint ids — including vis
+    extras and (dist, id) tie-breaks — across many random widths/ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        B = int(rng.integers(1, 5))
+        La = int(rng.integers(1, 130))
+        Lb = int(rng.integers(1, 90))
+        size = int(rng.integers(1, La + 1))
+        # Quantized distances force plenty of (dist) ties -> id tie-break.
+        da = np.sort(
+            rng.integers(0, 12, (B, La)).astype(np.float32), axis=-1
+        )
+        # ids: disjoint between a and b; a sorted by (dist, id).
+        ia = np.argsort(
+            rng.random((B, La)), axis=-1
+        ).astype(np.int32) * 2  # even
+        order = np.lexsort((ia, da), axis=-1)
+        da = np.take_along_axis(da, order, axis=-1)
+        ia = np.take_along_axis(ia, order, axis=-1)
+        va = rng.integers(0, 2, (B, La)).astype(np.int32)
+        db = rng.integers(0, 12, (B, Lb)).astype(np.float32)
+        ib = (rng.permutation(Lb)[None].repeat(B, 0) * 2 + 1).astype(np.int32)
+        vb = np.zeros((B, Lb), np.int32)
+        # Sprinkle +inf/-1 invalid entries on the candidate side.
+        inv = rng.random((B, Lb)) < 0.2
+        db = np.where(inv, np.inf, db).astype(np.float32)
+        ib = np.where(inv, -1, ib).astype(np.int32)
+
+        args = (jnp.asarray(da), jnp.asarray(ia), jnp.asarray(db),
+                jnp.asarray(ib))
+        kw = dict(extras_a=(jnp.asarray(va),), extras_b=(jnp.asarray(vb),))
+        want = merge_beams(*args, size, **kw)
+        got = merge_beams(*args, size, a_sorted=True, **kw)
+        for w, g, name in zip(want, got, ("dist", "id", "vis")):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w),
+                err_msg=f"trial {trial} {name} (La={La}, Lb={Lb}, size={size})",
+            )
+
+
+def test_bitonic_sort_matches_lax_sort():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for width in (2, 8, 64, 256):
+        d = rng.integers(0, 5, (3, width)).astype(np.float32)
+        i = rng.permutation(width)[None].repeat(3, 0).astype(np.int32)
+        v = rng.integers(0, 9, (3, width)).astype(np.int32)
+        want = jax.lax.sort(
+            (jnp.asarray(d), jnp.asarray(i), jnp.asarray(v)),
+            dimension=-1, num_keys=2,
+        )
+        got = topk_ops.bitonic_sort(
+            (jnp.asarray(d), jnp.asarray(i), jnp.asarray(v))
+        )
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        got_desc = topk_ops.bitonic_sort(
+            (jnp.asarray(d), jnp.asarray(i), jnp.asarray(v)),
+            descending=True,
+        )
+        for w, g in zip(want, got_desc):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w)[..., ::-1]
+            )
