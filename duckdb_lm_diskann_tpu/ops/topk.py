@@ -169,6 +169,7 @@ def merge_beams(
     extras_b: tuple[jnp.ndarray, ...] = (),
     dedup: bool = False,
     a_sorted: bool = False,
+    bitonic: bool = True,
 ) -> tuple[jnp.ndarray, ...]:
     """Merge two (dist, id, extras...) candidate sets, keep the best ``size``.
 
@@ -191,8 +192,17 @@ def merge_beams(
     bitonic merge instead of a full lax.sort over the concatenation. The
     hop-loop caller (core/searcher.py) qualifies: the beam is maintained
     sorted and in-beam neighbors are masked out of the candidates.
+
+    ``bitonic``: use the fused bitonic compare-exchange networks instead of
+    generic lax.sort kernels wherever a path supports it (False retains the
+    lax.sort forms — the reference implementation the exactness tests pin
+    the networks against). Caveat: bitonic networks are NOT stable, so two
+    entries with byte-identical (dist, id) keys but different extras can
+    attach extras either way; the searcher never produces that shape (its
+    only equal-key duplicates carry equal extras — beam members are masked
+    out of the candidates before the merge).
     """
-    if a_sorted and not dedup:
+    if a_sorted and not dedup and bitonic:
         La, Lb = dist_a.shape[-1], dist_b.shape[-1]
         pb = _next_pow2(Lb)
         total = _next_pow2(La + pb)
@@ -224,7 +234,27 @@ def merge_beams(
         for ea, eb in zip(extras_a, extras_b, strict=True)
     )
     if dedup:
-        by_id = jax.lax.sort((ids, dist) + extras, dimension=-1, num_keys=2)
+        if bitonic:
+            width = _next_pow2(dist.shape[-1])
+
+            def pad(x, fill):
+                n = width - x.shape[-1]
+                if n == 0:
+                    return x
+                cfg = [(0, 0)] * (x.ndim - 1) + [(0, n)]
+                return jnp.pad(x, cfg, constant_values=fill)
+
+            # Pad ids with int32 max so pads tail the (id, dist) sort; they
+            # mutually dedup to (-1, INF) and tail the final sort too.
+            imax = jnp.iinfo(jnp.int32).max
+            padded = (pad(ids, imax), pad(dist, INF)) + tuple(
+                pad(e, 0) for e in extras
+            )
+            by_id = bitonic_sort(padded)
+        else:
+            by_id = jax.lax.sort(
+                (ids, dist) + extras, dimension=-1, num_keys=2
+            )
         ids_s, dist_s = by_id[0], by_id[1]
         prev = jnp.concatenate(
             [jnp.full_like(ids_s[..., :1], -2), ids_s[..., :-1]], axis=-1
@@ -232,7 +262,10 @@ def merge_beams(
         dup = (ids_s == prev) & (ids_s >= 0)
         dist_s = jnp.where(dup, INF, dist_s)
         ids_s = jnp.where(dup, jnp.int32(-1), ids_s)
-        out = sort_by_distance_id(dist_s, ids_s, *by_id[2:])
+        if bitonic:
+            out = bitonic_sort((dist_s, ids_s) + by_id[2:])
+        else:
+            out = sort_by_distance_id(dist_s, ids_s, *by_id[2:])
     else:
         out = sort_by_distance_id(dist, ids, *extras)
     return tuple(o[..., :size] for o in out)

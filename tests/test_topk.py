@@ -124,3 +124,45 @@ def test_bitonic_sort_matches_lax_sort():
             np.testing.assert_array_equal(
                 np.asarray(g), np.asarray(w)[..., ::-1]
             )
+
+
+def test_bitonic_dedup_path_matches_sort_path():
+    """dedup=True with bitonic networks must equal the lax.sort dedup path:
+    duplicate ids across sides (equal and differing distances), ties,
+    invalid entries."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        B = int(rng.integers(1, 4))
+        La = int(rng.integers(1, 120))
+        Lb = int(rng.integers(1, 200))
+        size = int(rng.integers(1, La + 1))
+        da = rng.integers(0, 8, (B, La)).astype(np.float32)
+        ia = rng.integers(0, 60, (B, La)).astype(np.int32)
+        db = rng.integers(0, 8, (B, Lb)).astype(np.float32)
+        ib = rng.integers(0, 60, (B, Lb)).astype(np.int32)
+        inv = rng.random((B, Lb)) < 0.15
+        db = np.where(inv, np.inf, db).astype(np.float32)
+        ib = np.where(inv, -1, ib).astype(np.int32)
+        # Extras must be a function of (id, dist) for a meaningful stability
+        # -independent comparison (see merge_beams docstring caveat).
+        va = (ia % 2).astype(np.int32)
+        vb = (ib % 2).astype(np.int32)
+        args = (jnp.asarray(da), jnp.asarray(ia), jnp.asarray(db),
+                jnp.asarray(ib))
+        kw = dict(extras_a=(jnp.asarray(va),), extras_b=(jnp.asarray(vb),),
+                  dedup=True)
+        want = merge_beams(*args, size, bitonic=False, **kw)
+        got = merge_beams(*args, size, bitonic=True, **kw)
+        valid = np.asarray(want[1]) >= 0
+        for w, g, name in zip(want, got, ("dist", "id", "vis")):
+            w, g = np.asarray(w), np.asarray(g)
+            if name == "vis":
+                # Extras of invalid entries (id=-1 / inf pads) are
+                # unspecified in both paths; consumers ignore them.
+                w, g = np.where(valid, w, 0), np.where(valid, g, 0)
+            np.testing.assert_array_equal(
+                g, w,
+                err_msg=f"trial {trial} {name} (La={La}, Lb={Lb}, size={size})",
+            )
