@@ -100,6 +100,55 @@ class Coordinator:
         return total
 
     # ------------------------------------------------------------------ #
+    # snapshots (MVCC / snapshot isolation, Consolidated Proposal:82-96)
+
+    def snapshot(self) -> "Coordinator":
+        """Point-in-time read-only view with snapshot-isolation semantics.
+
+        The V2 design embeds commit_epoch / origin_txn_id MVCC fields in
+        every node block and filters visibility per search (Consolidated
+        Proposal:82-96: "queries should see the index state as of their
+        transaction's snapshot"). In the functional design the guarantee is
+        structural: mutations build NEW arrays, so a snapshot simply
+        retains the superseded state — no per-block epoch checks in the hot
+        loop. The one subtlety is buffer donation (insert_batch reuses HBM
+        buffers in place), so the snapshot takes a device-side copy: the
+        cost of keeping two versions resident is paid once at snapshot()
+        time. Mutating the snapshot raises; searches on it never see later
+        inserts/deletes (no phantom reads), and vacuum slot-recycling in
+        the live index cannot corrupt it.
+        """
+        snap = Coordinator.__new__(Coordinator)
+        snap.config = self.config
+        snap.params = self.params
+        snap.allocator = SlotAllocator()
+        snap.allocator.rowid_to_slot = dict(self.allocator.rowid_to_slot)
+        snap.allocator.slot_to_rowid = dict(self.allocator.slot_to_rowid)
+        snap.allocator.free_slots = list(self.allocator.free_slots)
+        snap.allocator.pending_deletion = list(self.allocator.pending_deletion)
+        snap.allocator.high_water = self.allocator.high_water
+        snap.arrays = GraphArrays(*(a.copy() for a in self.arrays))
+        snap.entry_slot = self.entry_slot
+        snap.entry_rowid = self.entry_rowid
+        snap._slot_rowids = self._slot_rowids.copy()
+        snap.dirty = False
+        snap.max_insert_batch = self.max_insert_batch
+        snap._pad_bulk = False
+        snap.build_timings = []
+        snap._needs_reachability_repair = False
+        snap.last_search_stats = None
+        snap.shadow_service = None
+        snap._frozen = True
+        return snap
+
+    def _check_mutable(self) -> None:
+        if getattr(self, "_frozen", False):
+            raise RuntimeError(
+                "index snapshot is read-only (snapshot isolation, "
+                "Consolidated Proposal:82-96)"
+            )
+
+    # ------------------------------------------------------------------ #
     # capacity management
 
     def _ensure_capacity(self, needed: int) -> None:
@@ -118,6 +167,7 @@ class Coordinator:
 
     def insert(self, rowids: Sequence[int], vectors: np.ndarray) -> None:
         """Insert a batch of (rowid, vector) pairs."""
+        self._check_mutable()
         vectors = np.atleast_2d(np.asarray(vectors))
         rowids = [int(r) for r in rowids]
         if len(rowids) != vectors.shape[0]:
@@ -318,6 +368,7 @@ class Coordinator:
         the deleted node from elsewhere become zombies filtered by the valid
         mask at search time. Returns the number of rows actually deleted —
         missing rowids are skipped silently (vectordiskann.c:1646-1650)."""
+        self._check_mutable()
         rowids = [int(r) for r in rowids]
         present = [r for r in rowids if r in self.allocator.rowid_to_slot]
         if not present:
@@ -485,6 +536,7 @@ class Coordinator:
 
     def update(self, rowid: int, vector: np.ndarray) -> None:
         """Update = delete + re-insert (Coordinator::Update, :226-237)."""
+        self._check_mutable()
         self.delete([rowid])
         self.insert([rowid], np.atleast_2d(vector))
 
@@ -493,6 +545,7 @@ class Coordinator:
         recycle tombstoned slots into the free list, then repair
         reachability (merge-time graph hygiene, the V2 design's compaction
         duty, Consolidated Proposal:171-186). Returns slots recycled."""
+        self._check_mutable()
         recycled = self.allocator.process_deletion_queue()
         self.dirty = self.dirty or bool(recycled)
         # Reachability repair only when the graph mutated since the last

@@ -233,6 +233,13 @@ class LmDiskannIndex:
                 np.atleast_2d(queries), k, l_search=L
             )
 
+    def snapshot(self):
+        """Read-only point-in-time view of the index — the transaction-
+        snapshot visibility of the V2 MVCC design (Consolidated
+        Proposal:82-96); see Coordinator.snapshot()."""
+        with self._lock:
+            return self.coordinator.snapshot()
+
     # --- persistence (GetStorageInfo / checkpoint, :516-531) ---
 
     def persist_to_disk(self) -> None:
