@@ -165,6 +165,28 @@ def run_config(
         jax.block_until_ready(outs_f)
         forced_qps[forced] = n_batches * batch / (time.perf_counter() - t0)
 
+    # Hop-merge A/B: bitonic compare-exchange networks vs generic lax.sort
+    # (exactness-equal; ops/topk.merge_beams). Forced to the opposite of the
+    # current default so the report always carries both.
+    fp_merge = dataclasses.replace(
+        coord.params, bitonic=not coord.params.bitonic
+    )
+
+    def run_batch_m(qb):
+        return beam_search(
+            coord.arrays, qb, jnp.int32(coord.entry_slot),
+            params=fp_merge, l_search=L, k=k, beam_width=width,
+        )
+
+    jax.block_until_ready(run_batch_m(q_dev[:batch]))
+    t0 = time.perf_counter()
+    outs_m = [
+        run_batch_m(q_dev[i * batch : (i + 1) * batch])
+        for i in range(n_batches)
+    ]
+    jax.block_until_ready(outs_m)
+    qps_other_merge = n_batches * batch / (time.perf_counter() - t0)
+
     # (Serving beam width > 1 measured SLOWER at batch 1024 on v5e — whole-
     # batch hops already amortize fixed costs, and per-hop work grows with
     # W*R — so the bench stays at the strict reference visit order W=1.)
@@ -276,6 +298,9 @@ def run_config(
         "qps": round(qps, 1),
         "qps_pallas": round(forced_qps["1"], 1),
         "qps_xla": round(forced_qps["0"], 1),
+        (
+            "qps_laxsort_merge" if coord.params.bitonic else "qps_bitonic_merge"
+        ): round(qps_other_merge, 1),
         **(
             {"qps_pallas_deep": round(forced_qps["2"], 1)}
             if "2" in forced_qps

@@ -105,6 +105,10 @@ class GraphParams:
     # retraces — the trace-time analog of the reference's GetDotKernel
     # function-pointer dispatch (ternary_quantization.hpp:562-602).
     pallas: str = "auto"
+    # Hop-merge implementation: True = fused bitonic compare-exchange
+    # networks, False = generic lax.sort (exactness-equal; see
+    # ops/topk.merge_beams). Static like `pallas` so bench can A/B both.
+    bitonic: bool = True
 
     @classmethod
     def from_config(cls, config: LmDiskannConfig) -> "GraphParams":
@@ -123,6 +127,7 @@ class GraphParams:
             insert_beam_width=config.insert_beam_width,
             node_vtype=config.node_vector_type,
             pallas=os.environ.get("LMD_PALLAS", "auto"),
+            bitonic=os.environ.get("LMD_BITONIC", "1") != "0",
         )
 
     @property

@@ -406,6 +406,7 @@ def beam_search(
             # disjoint -> bitonic fast path (the hop's dominant cost is this
             # merge; see benchmarks/profile_hop.py knockout).
             a_sorted=E == 1,
+            bitonic=params.bitonic,
         )
         # Entries that sorted to +inf are empty; normalize their slot to -1.
         new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)

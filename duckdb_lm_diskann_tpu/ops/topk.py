@@ -14,8 +14,15 @@ backend, every shard count, every batch size.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# A/B escape hatch for the bitonic merge networks (LMD_BITONIC=0 restores
+# the generic lax.sort forms everywhere) — read once at import, so flipping
+# it requires a fresh process, like the LMD_PALLAS kernel dispatch knob.
+BITONIC_DEFAULT = os.environ.get("LMD_BITONIC", "1") != "0"
 
 # Python float, not a device array: modules must be import-safe so
 # jax.distributed.initialize() can run before any backend init
@@ -169,7 +176,7 @@ def merge_beams(
     extras_b: tuple[jnp.ndarray, ...] = (),
     dedup: bool = False,
     a_sorted: bool = False,
-    bitonic: bool = True,
+    bitonic: bool | None = None,
 ) -> tuple[jnp.ndarray, ...]:
     """Merge two (dist, id, extras...) candidate sets, keep the best ``size``.
 
@@ -196,12 +203,14 @@ def merge_beams(
     ``bitonic``: use the fused bitonic compare-exchange networks instead of
     generic lax.sort kernels wherever a path supports it (False retains the
     lax.sort forms — the reference implementation the exactness tests pin
-    the networks against). Caveat: bitonic networks are NOT stable, so two
+    the networks against); None -> BITONIC_DEFAULT (LMD_BITONIC). Caveat: bitonic networks are NOT stable, so two
     entries with byte-identical (dist, id) keys but different extras can
     attach extras either way; the searcher never produces that shape (its
     only equal-key duplicates carry equal extras — beam members are masked
     out of the candidates before the merge).
     """
+    if bitonic is None:
+        bitonic = BITONIC_DEFAULT
     if a_sorted and not dedup and bitonic:
         La, Lb = dist_a.shape[-1], dist_b.shape[-1]
         pb = _next_pow2(Lb)
