@@ -436,9 +436,9 @@ def beam_search(
     if allowed is not None:
         ok = allowed[jnp.maximum(final.vis_slot, 0)] & (final.vis_slot >= 0)
         vis_dist = jnp.where(ok, vis_dist, INF)
-    sd, ss = topk_ops.sort_by_distance_id(vis_dist, final.vis_slot)
-    sd, ss = topk_ops.dedup_sorted_ids(sd, ss)
-    sd, ss = topk_ops.sort_by_distance_id(sd, ss)
+    sd, ss = topk_ops.sorted_dedup_topk(
+        vis_dist, final.vis_slot, bitonic=params.bitonic
+    )
     topk_dists, topk_slots = sd[..., :k], ss[..., :k]
     topk_slots = jnp.where(jnp.isinf(topk_dists), -1, topk_slots)
     return SearchResult(

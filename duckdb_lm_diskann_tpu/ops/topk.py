@@ -165,6 +165,36 @@ def bitonic_merge_sorted(arrs_a: tuple, arrs_b_desc: tuple) -> tuple:
     return arrs
 
 
+def sorted_dedup_topk(
+    dist: jnp.ndarray,
+    ids: jnp.ndarray,
+    *,
+    bitonic: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort by (dist, id), mask duplicate ids, re-sort — the final-pass
+    shape (exact re-rank over the visited log, Searcher.cpp:189-245 /
+    vectordiskann.c:1091-1110). With ``bitonic`` the two generic sorts
+    become fused compare-exchange networks (pow2-padded); exactness-equal.
+    Callers truncate the result to k themselves."""
+    if bitonic is None:
+        bitonic = BITONIC_DEFAULT
+    if not bitonic:
+        sd, ss = sort_by_distance_id(dist, ids)
+        sd, ss = dedup_sorted_ids(sd, ss)
+        return sort_by_distance_id(sd, ss)[:2]
+
+    orig = dist.shape[-1]
+    n = _next_pow2(orig) - orig
+    if n:
+        cfg = [(0, 0)] * (dist.ndim - 1) + [(0, n)]
+        dist = jnp.pad(dist, cfg, constant_values=INF)
+        ids = jnp.pad(ids, cfg, constant_values=-1)
+    sd, ss = bitonic_sort((dist, ids))
+    sd, ss = dedup_sorted_ids(sd, ss)
+    sd, ss = bitonic_sort((sd, ss))
+    return sd[..., :orig], ss[..., :orig]
+
+
 def merge_beams(
     dist_a: jnp.ndarray,
     ids_a: jnp.ndarray,

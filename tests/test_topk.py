@@ -166,3 +166,27 @@ def test_bitonic_dedup_path_matches_sort_path():
                 g, w,
                 err_msg=f"trial {trial} {name} (La={La}, Lb={Lb}, size={size})",
             )
+
+
+def test_sorted_dedup_topk_bitonic_matches_sort_path():
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for trial in range(20):
+        B = int(rng.integers(1, 4))
+        V = int(rng.integers(1, 500))
+        d = rng.integers(0, 9, (B, V)).astype(np.float32)
+        i = rng.integers(-1, 40, (B, V)).astype(np.int32)
+        # Duplicate ids share one distance (the final-pass invariant: both
+        # visits of a slot carry the same exact distance).
+        for b in range(B):
+            for uid in np.unique(i[b][i[b] >= 0]):
+                d[b][i[b] == uid] = d[b][i[b] == uid][0]
+        d = np.where(i < 0, np.inf, d).astype(np.float32)
+        want = topk_ops.sorted_dedup_topk(
+            jnp.asarray(d), jnp.asarray(i), bitonic=False)
+        got = topk_ops.sorted_dedup_topk(
+            jnp.asarray(d), jnp.asarray(i), bitonic=True)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(w), err_msg=f"trial {trial} V={V}")
