@@ -65,7 +65,12 @@ def knockout():
     def make_loop(*, sort=True, egather=True, vislog=True, inbeam=True,
                   vgather=True, bitonic=False):
         def body(i, s):
-            beam_dist, beam_slot, beam_vis, vis_slot, vis_dist, vis_cnt = s
+            # Tables ride in the loop carry (returned unchanged) so they are
+            # jit ARGUMENTS, not 5.4 GB of captured constants — constant
+            # capture at CAP=1M made lowering/compile effectively hang.
+            (beam_dist, beam_slot, beam_vis, vis_slot, vis_dist,
+             vis_cnt, tables) = s
+            vectors, edge_i4, edge_scale, neighbors, queries = tables
             unvis = (~beam_vis) & (beam_slot >= 0)
             idx_e = jnp.argmax(unvis, axis=-1)[:, None]
             active_e = jnp.take_along_axis(unvis, idx_e, axis=-1)
@@ -135,10 +140,10 @@ def knockout():
                                      beam_slot)
             new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)
             return (new_dist, new_slot, beam_vis, vis_slot, vis_dist,
-                    vis_cnt)
+                    vis_cnt, tables)
 
         @jax.jit
-        def run(seed_slot):
+        def run_impl(seed_slot, tables):
             beam_dist = jnp.concatenate(
                 [jnp.zeros((B, 1)), jnp.full((B, L - 1), jnp.inf)], axis=-1)
             beam_slot = jnp.concatenate(
@@ -146,11 +151,12 @@ def knockout():
                 axis=-1)
             s = (beam_dist, beam_slot, jnp.zeros((B, L), jnp.bool_),
                  jnp.full((B, V), -1, jnp.int32), jnp.full((B, V), jnp.inf),
-                 jnp.zeros((B,), jnp.int32))
+                 jnp.zeros((B,), jnp.int32), tables)
             s = jax.lax.fori_loop(0, ITERS, body, s)
             return s[0].sum() + s[4].sum() + s[3].sum()
 
-        return run
+        tables = (vectors, edge_i4, edge_scale, neighbors, queries)
+        return lambda seed_slot: run_impl(seed_slot, tables)
 
     rng2 = np.random.default_rng(7)
     seeds = [jnp.asarray(rng2.integers(0, CAP, B, dtype=np.int32))
@@ -185,9 +191,16 @@ def _pipelined_gather(idx, src, n_flight=8, interpret=False):
     step i waits the copy for row i (issued K steps earlier, or in the
     step-0 warmup) and reissues its semaphore slot for row i+K, keeping K
     copies in flight throughout.
+
+    Rows are presented as (8, ROW//8) tiles: Mosaic tiles the last two
+    dims of an HBM memref (8, 128) and rejects a dynamic slice of extent
+    1 on a tiled dim, so the row index must live on a leading batch dim.
     """
     K = n_flight
     Bn = idx.shape[0]
+    ROWW = src.shape[1]
+    assert ROWW % 8 == 0
+    src = src.reshape(src.shape[0], 8, ROWW // 8)
 
     def kernel(idx_ref, src_ref, out_ref, sems):
         i = pl.program_id(0)
@@ -221,12 +234,13 @@ def _pipelined_gather(idx, src, n_flight=8, interpret=False):
             pltpu.SemaphoreType.DMA((K,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Bn, src.shape[1]), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Bn, 8, ROWW // 8), jnp.uint32),
         interpret=interpret,
     )(idx, src)
+    return out.reshape(Bn, ROWW)
 
 
 def _pipelined_gather4(idx, srcs, n_flight=8, interpret=False):
@@ -268,7 +282,11 @@ def _pipelined_gather4(idx, srcs, n_flight=8, interpret=False):
         def _reissue():
             issue(nxt, slot)
 
-    vec, nbr, sc, codes = srcs
+    # Rows reshaped to (8, w//8) tiles — see _pipelined_gather.
+    widths = [s.shape[1] for s in srcs]
+    assert all(w % 8 == 0 for w in widths)
+    vec, nbr, sc, codes = (
+        s.reshape(s.shape[0], 8, s.shape[1] // 8) for s in srcs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Bn,),
@@ -278,17 +296,16 @@ def _pipelined_gather4(idx, srcs, n_flight=8, interpret=False):
             pltpu.SemaphoreType.DMA((K,)),
         ],
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Bn, vec.shape[1]), jnp.uint32),
-            jax.ShapeDtypeStruct((Bn, nbr.shape[1]), jnp.uint32),
-            jax.ShapeDtypeStruct((Bn, sc.shape[1]), jnp.uint32),
-            jax.ShapeDtypeStruct((Bn, codes.shape[1]), jnp.uint32),
+            jax.ShapeDtypeStruct((Bn, 8, w // 8), jnp.uint32)
+            for w in widths
         ],
         interpret=interpret,
     )(idx, vec, nbr, sc, codes)
+    return [o.reshape(Bn, w) for o, w in zip(outs, widths)]
 
 
 def gather_ab():
@@ -318,74 +335,92 @@ def gather_ab():
           f"{(combined.nbytes + vec_u32.nbytes + nbr_u32.nbytes + sc_u32.nbytes + codes_u32.nbytes)/2**30:.2f} GiB",
           flush=True)
 
-    def harness(gather_sum):
-        """idx -> scalar per row; chains iterations through the result."""
+    def harness(gather_sum, tables):
+        """idx -> scalar per row; chains iterations through the result.
+
+        ``tables`` rides the fori_loop carry (returned unchanged) so the
+        multi-GiB arrays are jit ARGUMENTS, not captured constants —
+        capture at CAP=1M stalls lowering/compile for many minutes."""
         def body(i, c):
-            idx, acc = c
-            s = gather_sum(idx)  # u32[B] dependent on the gathered bytes
+            idx, acc, tbl = c
+            s = gather_sum(idx, tbl)  # u32[B] dependent on gathered bytes
             nidx = (idx + s.astype(jnp.int32) + i) & (CAP - 1)
-            return (jnp.abs(nidx), acc + jnp.sum(s))
+            return (jnp.abs(nidx), acc + jnp.sum(s), tbl)
 
         @jax.jit
-        def run(seed):
-            out = jax.lax.fori_loop(0, ITERS, body, (seed, jnp.uint32(0)))
+        def run_impl(seed, tbl):
+            out = jax.lax.fori_loop(
+                0, ITERS, body, (seed, jnp.uint32(0), tbl))
             return out[1]
 
-        return run
+        return lambda seed: run_impl(seed, tables)
 
-    def sep4_sum(idx):
-        a = jnp.sum(vec_u32[idx], axis=-1)
-        b = jnp.sum(nbr_u32[idx], axis=-1)
-        c = jnp.sum(codes_u32[idx], axis=-1)
-        d = jnp.sum(sc_u32[idx], axis=-1)
+    SEP4 = (vec_u32, nbr_u32, sc_u32, codes_u32)
+
+    def sep4_sum(idx, tbl):
+        vec, nbr, sc, codes = tbl
+        a = jnp.sum(vec[idx], axis=-1)
+        b = jnp.sum(nbr[idx], axis=-1)
+        c = jnp.sum(codes[idx], axis=-1)
+        d = jnp.sum(sc[idx], axis=-1)
         return a + b + c + d
 
-    def comb1_sum(idx):
-        return jnp.sum(combined[idx], axis=-1)
+    def comb1_sum(idx, tbl):
+        return jnp.sum(tbl[0][idx], axis=-1)
 
-    def vec_only_sum(idx):
-        return jnp.sum(vec_u32[idx], axis=-1)
+    def vec_only_sum(idx, tbl):
+        return jnp.sum(tbl[0][idx], axis=-1)
 
-    def codes_only_sum(idx):
-        return jnp.sum(codes_u32[idx], axis=-1)
+    def codes_only_sum(idx, tbl):
+        return jnp.sum(tbl[0][idx], axis=-1)
 
     variants = [
-        ("sep4 (today)", sep4_sum),
-        ("combined x1", comb1_sum),
-        ("vec only", vec_only_sum),
-        ("codes only", codes_only_sum),
+        ("sep4 (today)", sep4_sum, SEP4),
+        ("combined x1", comb1_sum, (combined,)),
+        ("vec only", vec_only_sum, (vec_u32,)),
+        ("codes only", codes_only_sum, (codes_u32,)),
     ]
     for K in (4, 8, 16):
         variants.append(
             (f"pallas comb K={K}",
              functools.partial(
-                 lambda idx, K: jnp.sum(
-                     _pipelined_gather(idx, combined, n_flight=K), axis=-1),
-                 K=K))
+                 lambda idx, tbl, K: jnp.sum(
+                     _pipelined_gather(idx, tbl[0], n_flight=K), axis=-1),
+                 K=K),
+             (combined,))
         )
 
-    def sep4_pallas_sum(idx, K):
-        outs = _pipelined_gather4(
-            idx, (vec_u32, nbr_u32, sc_u32, codes_u32), n_flight=K)
+    def sep4_pallas_sum(idx, tbl, K):
+        outs = _pipelined_gather4(idx, tbl, n_flight=K)
         return sum(jnp.sum(o, axis=-1) for o in outs)
 
     for K in (8, 16):
         variants.append(
             (f"pallas sep4 K={K}",
-             functools.partial(sep4_pallas_sum, K=K))
+             functools.partial(sep4_pallas_sum, K=K),
+             SEP4)
         )
 
     rng2 = np.random.default_rng(7)
     seeds = [jnp.asarray(rng2.integers(0, CAP, B, dtype=np.int32))
              for _ in range(8)]
-    # Correctness check of the pipelined kernel before timing.
-    got = np.asarray(_pipelined_gather(seeds[0], combined))
-    want = np.asarray(combined[seeds[0]])
-    assert np.array_equal(got, want), "pipelined gather mismatch"
-    print("pallas pipelined gather: correct", flush=True)
+    # Correctness check of the pipelined kernel before timing it (XLA
+    # variants are timed regardless — each variant is independently
+    # guarded so one Mosaic rejection doesn't kill the whole A/B).
+    try:
+        got = np.asarray(_pipelined_gather(seeds[0], combined))
+        want = np.asarray(combined[seeds[0]])
+        assert np.array_equal(got, want), "pipelined gather mismatch"
+        print("pallas pipelined gather: correct", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas pipelined gather FAILED: {str(e)[:200]}", flush=True)
 
-    for name, fn in variants:
-        ms = _time_loop(harness(fn), seeds)
+    for name, fn, tbl in variants:
+        try:
+            ms = _time_loop(harness(fn, tbl), seeds)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:14s}: FAILED {str(e)[:160]}", flush=True)
+            continue
         us_per_row = ms * 1e3 / B
         print(f"{name:14s}: {ms:.3f} ms/iter ({us_per_row*1e3:.0f} ns/row)",
               flush=True)

@@ -74,6 +74,20 @@ class GraphArrays(NamedTuple):
         return self.vectors.shape[0]
 
 
+def _default_bitonic(env: str | None) -> bool:
+    """Resolve the hop-merge implementation: explicit LMD_BITONIC wins;
+    otherwise bitonic on CPU (where it measured ~25% faster), lax.sort on
+    TPU (where it measured ~5% slower — profile_hop knockout, 1M scale)."""
+    if env is not None:
+        return env != "0"
+    try:
+        import jax
+
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
 @dataclasses.dataclass(frozen=True)
 class GraphParams:
     """Static (hashable) parameters closed over by jitted kernels."""
@@ -108,6 +122,9 @@ class GraphParams:
     # Hop-merge implementation: True = fused bitonic compare-exchange
     # networks, False = generic lax.sort (exactness-equal; see
     # ops/topk.merge_beams). Static like `pallas` so bench can A/B both.
+    # Measured (profile_hop knockout, 1M/B=1024): bitonic wins ~25% on
+    # XLA-CPU but loses ~5% on TPU v5e, where lax.sort's merge is only
+    # ~12% of the hop — so the default is backend-dependent.
     bitonic: bool = True
 
     @classmethod
@@ -127,7 +144,7 @@ class GraphParams:
             insert_beam_width=config.insert_beam_width,
             node_vtype=config.node_vector_type,
             pallas=os.environ.get("LMD_PALLAS", "auto"),
-            bitonic=os.environ.get("LMD_BITONIC", "1") != "0",
+            bitonic=_default_bitonic(os.environ.get("LMD_BITONIC")),
         )
 
     @property
