@@ -41,6 +41,10 @@ import time
 import numpy as np
 
 
+def _round1(x):
+    return None if x is None else round(x, 1)
+
+
 def make_corpus(n, dims, seed=0xBE7C4, zdim=12):
     """Smooth random manifold with intrinsic dimension 12 embedded in
     ``dims`` (z ~ N(0,I)^12 -> tanh(z W1) W2 + noise): the realistic model
@@ -156,14 +160,24 @@ def run_config(
                 params=_fp, l_search=L, k=k, beam_width=width,
             )
 
-        jax.block_until_ready(run_batch_f(q_dev[:batch]))
-        t0 = time.perf_counter()
-        outs_f = [
-            run_batch_f(q_dev[i * batch : (i + 1) * batch])
-            for i in range(n_batches)
-        ]
-        jax.block_until_ready(outs_f)
-        forced_qps[forced] = n_batches * batch / (time.perf_counter() - t0)
+        # A Mosaic/toolchain rejection of one forced kernel backend must
+        # not kill the bench (the 2026-08-18 tunnel update started
+        # rejecting the deep kernels' unaligned HBM slices); "auto" never
+        # selects a Pallas backend, so the engine itself is unaffected.
+        try:
+            jax.block_until_ready(run_batch_f(q_dev[:batch]))
+            t0 = time.perf_counter()
+            outs_f = [
+                run_batch_f(q_dev[i * batch : (i + 1) * batch])
+                for i in range(n_batches)
+            ]
+            jax.block_until_ready(outs_f)
+            forced_qps[forced] = (
+                n_batches * batch / (time.perf_counter() - t0))
+        except Exception as e:  # noqa: BLE001
+            print(f"# pallas backend {forced} failed: {str(e)[:160]}",
+                  file=sys.stderr, flush=True)
+            forced_qps[forced] = None  # null in the JSON line
 
     # Hop-merge A/B: bitonic compare-exchange networks vs generic lax.sort
     # (exactness-equal; ops/topk.merge_beams). Forced to the opposite of the
@@ -296,13 +310,13 @@ def run_config(
         "build_compile_s": build_compile_s,
         "inserts_per_second_steady": round(n / steady_s, 1),
         "qps": round(qps, 1),
-        "qps_pallas": round(forced_qps["1"], 1),
-        "qps_xla": round(forced_qps["0"], 1),
+        "qps_pallas": _round1(forced_qps["1"]),
+        "qps_xla": _round1(forced_qps["0"]),
         (
             "qps_laxsort_merge" if coord.params.bitonic else "qps_bitonic_merge"
         ): round(qps_other_merge, 1),
         **(
-            {"qps_pallas_deep": round(forced_qps["2"], 1)}
+            {"qps_pallas_deep": _round1(forced_qps["2"])}
             if "2" in forced_qps
             else {}
         ),
