@@ -365,20 +365,14 @@ def gather_ab():
         d = jnp.sum(sc[idx], axis=-1)
         return a + b + c + d
 
-    def comb1_sum(idx, tbl):
-        return jnp.sum(tbl[0][idx], axis=-1)
-
-    def vec_only_sum(idx, tbl):
-        return jnp.sum(tbl[0][idx], axis=-1)
-
-    def codes_only_sum(idx, tbl):
+    def single_table_sum(idx, tbl):
         return jnp.sum(tbl[0][idx], axis=-1)
 
     variants = [
         ("sep4 (today)", sep4_sum, SEP4),
-        ("combined x1", comb1_sum, (combined,)),
-        ("vec only", vec_only_sum, (vec_u32,)),
-        ("codes only", codes_only_sum, (codes_u32,)),
+        ("combined x1", single_table_sum, (combined,)),
+        ("vec only", single_table_sum, (vec_u32,)),
+        ("codes only", single_table_sum, (codes_u32,)),
     ]
     for K in (4, 8, 16):
         variants.append(

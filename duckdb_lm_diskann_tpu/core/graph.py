@@ -74,18 +74,15 @@ class GraphArrays(NamedTuple):
         return self.vectors.shape[0]
 
 
-def _default_bitonic(env: str | None) -> bool:
-    """Resolve the hop-merge implementation: explicit LMD_BITONIC wins;
-    otherwise bitonic on CPU (where it measured ~25% faster), lax.sort on
-    TPU (where it measured ~5% slower — profile_hop knockout, 1M scale)."""
+def _default_bitonic(env: str | None = None) -> bool:
+    """Resolve the hop-merge implementation. One source of truth:
+    ops/topk.default_bitonic (explicit LMD_BITONIC wins; else bitonic on
+    CPU, lax.sort on TPU — profile_hop knockout, 1M scale)."""
+    from ..ops.topk import default_bitonic
+
     if env is not None:
         return env != "0"
-    try:
-        import jax
-
-        return jax.default_backend() == "cpu"
-    except Exception:
-        return True
+    return default_bitonic()
 
 
 @dataclasses.dataclass(frozen=True)

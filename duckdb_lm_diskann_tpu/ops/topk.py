@@ -19,10 +19,22 @@ import os
 import jax
 import jax.numpy as jnp
 
-# A/B escape hatch for the bitonic merge networks (LMD_BITONIC=0 restores
-# the generic lax.sort forms everywhere) — read once at import, so flipping
-# it requires a fresh process, like the LMD_PALLAS kernel dispatch knob.
-BITONIC_DEFAULT = os.environ.get("LMD_BITONIC", "1") != "0"
+def default_bitonic() -> bool:
+    """Single source of truth for the hop-merge implementation default.
+
+    Explicit LMD_BITONIC wins ("0" = generic lax.sort forms, anything else =
+    bitonic networks); otherwise backend-dependent: bitonic on CPU (measured
+    ~25% faster), lax.sort on TPU (bitonic measured ~5% slower — the merge is
+    only ~12% of the TPU hop; benchmarks/profile_hop.py knockout, 1M scale).
+    Resolved lazily, never at import: modules must be import-safe so
+    jax.distributed.initialize() can run before any backend init."""
+    env = os.environ.get("LMD_BITONIC")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
 
 # Python float, not a device array: modules must be import-safe so
 # jax.distributed.initialize() can run before any backend init
@@ -177,7 +189,7 @@ def sorted_dedup_topk(
     become fused compare-exchange networks (pow2-padded); exactness-equal.
     Callers truncate the result to k themselves."""
     if bitonic is None:
-        bitonic = BITONIC_DEFAULT
+        bitonic = default_bitonic()
     if not bitonic:
         sd, ss = sort_by_distance_id(dist, ids)
         sd, ss = dedup_sorted_ids(sd, ss)
@@ -233,14 +245,15 @@ def merge_beams(
     ``bitonic``: use the fused bitonic compare-exchange networks instead of
     generic lax.sort kernels wherever a path supports it (False retains the
     lax.sort forms — the reference implementation the exactness tests pin
-    the networks against); None -> BITONIC_DEFAULT (LMD_BITONIC). Caveat: bitonic networks are NOT stable, so two
+    the networks against); None -> default_bitonic() (LMD_BITONIC env, else
+    backend-dependent). Caveat: bitonic networks are NOT stable, so two
     entries with byte-identical (dist, id) keys but different extras can
     attach extras either way; the searcher never produces that shape (its
     only equal-key duplicates carry equal extras — beam members are masked
     out of the candidates before the merge).
     """
     if bitonic is None:
-        bitonic = BITONIC_DEFAULT
+        bitonic = default_bitonic()
     if a_sorted and not dedup and bitonic:
         La, Lb = dist_a.shape[-1], dist_b.shape[-1]
         pb = _next_pow2(Lb)
