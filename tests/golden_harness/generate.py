@@ -1,0 +1,147 @@
+"""Generate golden traces by EXECUTING the reference C implementation.
+
+Compiles /root/reference/libsql/vectordiskann.c (unmodified, from its
+read-only path) against the stub headers in this directory plus the system
+libsqlite3, runs scripted scenarios, and writes self-contained JSON golden
+files into tests/golden/ — each carrying the dataset (integer-valued so f32
+sums are order-invariant), the op sequence, and the reference's recorded
+search roots, visit orders, top-k results and adjacency snapshots
+(stored-distance f32 bits included).
+
+Run: python tests/golden_harness/generate.py
+Requires gcc + libsqlite3 (dev headers NOT needed). Tests only replay the
+checked-in traces; regeneration is for refreshing or extending scenarios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+GOLDEN_DIR = os.path.join(os.path.dirname(HERE), "golden")
+REFERENCE_C = "/root/reference/libsql/vectordiskann.c"
+SQLITE_SO = "/lib/x86_64-linux-gnu/libsqlite3.so.0"
+
+
+def build_harness(workdir: str) -> str:
+    exe = os.path.join(workdir, "trace_gen")
+    cmd = [
+        "gcc", "-O1", "-g",
+        "-DSQLITE_DEBUG", "-DSQLITE_VECTOR_TRACE",
+        "-I", HERE, "-I", os.path.dirname(REFERENCE_C),
+        REFERENCE_C,
+        os.path.join(HERE, "shims.c"),
+        os.path.join(HERE, "trace_main.c"),
+        "-o", exe, "-lm", SQLITE_SO,
+    ]
+    subprocess.run(cmd, check=True)
+    return exe
+
+
+def run_scenario(exe, name, *, n, dims, metric, seed, maxnbrs, insert_l,
+                 search_l, ops_fn, vec_lo=-60, vec_hi=61, n_queries=16,
+                 adj_every=1):
+    """ops_fn(n, n_queries) -> list of op strings (vec indices >= n are
+    query vectors)."""
+    rng = np.random.default_rng(seed)
+    vecs = rng.integers(vec_lo, vec_hi, size=(n + n_queries, dims)).astype(
+        np.float32
+    )
+    ops = ops_fn(n, n_queries)
+    with tempfile.TemporaryDirectory() as td:
+        vec_path = os.path.join(td, "vecs.f32")
+        ops_path = os.path.join(td, "ops.txt")
+        vecs.tofile(vec_path)
+        with open(ops_path, "w") as f:
+            f.write("\n".join(ops) + "\n")
+        out = subprocess.run(
+            [exe, vec_path, str(dims), metric, ops_path, str(seed),
+             str(maxnbrs), str(insert_l), str(search_l), str(adj_every)],
+            capture_output=True, text=True, check=True,
+        )
+    lines = [json.loads(line) for line in out.stdout.splitlines()]
+    meta = lines[0]
+    assert meta["op"] == "meta"
+    golden = {
+        "name": name,
+        "generator": "tests/golden_harness/generate.py",
+        "reference": REFERENCE_C,
+        "seed": seed,
+        "meta": meta,
+        "vectors": vecs.astype(int).tolist(),  # integer-valued by design
+        "ops": lines[1:],
+    }
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    path = os.path.join(GOLDEN_DIR, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(golden, f, separators=(",", ":"))
+    print(f"wrote {path}: {len(lines) - 1} ops, "
+          f"{os.path.getsize(path) // 1024} KiB")
+    return golden
+
+
+def ops_build_search(n, n_queries):
+    ops = [f"insert {i + 1} {i}" for i in range(n)]
+    ops.append("snapshot")
+    ops += [f"search 10 {n + q}" for q in range(n_queries)]
+    return ops
+
+
+def ops_lifecycle(n, n_queries):
+    """Build, search, delete a spread of rows (creating zombie forward
+    edges — the reference's shipped delete removes no back-edges), search
+    through the zombies, re-insert fresh rows reusing the freed rowids
+    (zombie-duplicate override paths), search again."""
+    ops = [f"insert {i + 1} {i}" for i in range(n)]
+    ops.append("snapshot")
+    ops += [f"search 10 {n + q}" for q in range(n_queries // 2)]
+    deleted = list(range(3, n, 7))
+    ops += [f"delete {r + 1}" for r in deleted]
+    ops.append("snapshot")
+    ops += [f"search 10 {n + q}" for q in range(n_queries // 2, n_queries)]
+    # Re-insert with the SAME rowids but different vectors (vec index
+    # offset by half the pool) — exercises the zombie-edge override at
+    # vectordiskann.c:1202-1205.
+    for j, r in enumerate(deleted[: max(4, len(deleted) // 2)]):
+        ops.append(f"insert {r + 1} {(r + n // 2) % n}")
+    ops.append("snapshot")
+    ops += [f"search 10 {n + q}" for q in range(n_queries)]
+    ops.append("snapshot")
+    return ops
+
+
+def main():
+    with tempfile.TemporaryDirectory() as td:
+        exe = build_harness(td)
+        run_scenario(
+            exe, "l2_build_search", n=120, dims=8, metric="l2", seed=1001,
+            maxnbrs=6, insert_l=16, search_l=24, ops_fn=ops_build_search,
+        )
+        run_scenario(
+            exe, "cos_build_search", n=120, dims=12, metric="cos", seed=2002,
+            maxnbrs=8, insert_l=16, search_l=24, ops_fn=ops_build_search,
+        )
+        run_scenario(
+            exe, "l2_default_r", n=200, dims=16, metric="l2", seed=3003,
+            maxnbrs=0, insert_l=20, search_l=32, ops_fn=ops_build_search,
+            adj_every=0,
+        )
+        run_scenario(
+            exe, "l2_lifecycle", n=90, dims=8, metric="l2", seed=4004,
+            maxnbrs=6, insert_l=16, search_l=24, ops_fn=ops_lifecycle,
+        )
+        run_scenario(
+            exe, "cos_lifecycle", n=90, dims=10, metric="cos", seed=5005,
+            maxnbrs=6, insert_l=16, search_l=24, ops_fn=ops_lifecycle,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

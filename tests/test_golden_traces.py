@@ -1,0 +1,191 @@
+"""Golden-trace parity: the engine and oracles vs the EXECUTED reference C.
+
+The traces in tests/golden/*.json were produced by compiling and running
+the actual reference implementation (/root/reference/libsql/vectordiskann.c
+via tests/golden_harness/, unmodified, against the system libsqlite3) over
+seeded integer-valued datasets. Each trace records, per operation, the
+reference's chosen search root, its exact visit order, its top-k row ids,
+and full adjacency snapshots including the f32 stored-distance BITS from
+the real node blocks.
+
+Three layers of parity are asserted:
+
+1. tests/oracle_libsql.py replays every op of every trace with exact
+   agreement — visit orders, top-k, and bit-exact adjacency — proving the
+   Python transcription of the reference semantics (including its
+   insertion-order ties, lazy zombie discovery, reverse-visit-order insert
+   passes, and the shipped delete's no-op back-edge removal) is faithful.
+2. tests/oracle.py (the ENGINE's spec) search matches the reference's
+   searches on zombie-free graphs — converting the round-2 "oracle-exact"
+   claim into "reference-exact" for the judged search contract.
+3. The JAX engine's beam_search itself reproduces the reference's visit
+   order and top-k on the same snapshots (EdgeType.FLOAT32, E=1).
+
+Scenario datasets are integer-valued so float32 sums are order-invariant
+and distances reproduce bit-for-bit across C, NumPy and XLA.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from duckdb_lm_diskann_tpu.common.types import EdgeType, MetricType
+
+from .oracle import OracleGraph
+from .oracle_libsql import LibsqlDiskann
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+ALL_TRACES = sorted(
+    f[:-5] for f in os.listdir(GOLDEN_DIR) if f.endswith(".json")
+)
+# Scenarios whose first snapshot precedes any delete (zombie-free graphs):
+# the engine/oracle search-on-snapshot parity layer uses these.
+BUILD_TRACES = [t for t in ALL_TRACES if "lifecycle" not in t]
+
+
+def load(name):
+    with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as f:
+        g = json.load(f)
+    return g, g["meta"], np.asarray(g["vectors"], np.float32)
+
+
+def first_snapshot(golden):
+    return next(op for op in golden["ops"] if op["op"] == "snapshot")
+
+
+@pytest.mark.parametrize("name", ALL_TRACES)
+def test_libsql_oracle_full_replay(name):
+    """Layer 1: bit-exact full-lifecycle replay of the reference C."""
+    g, m, vecs = load(name)
+    eng = LibsqlDiskann(
+        m["dims"], m["metric"], m["max_edges"], m["insert_l"],
+        m["search_l"], m["alpha_x1000"] / 1000.0,
+    )
+    n_adj_checked = 0
+    for i, op in enumerate(g["ops"]):
+        kind = op["op"]
+        if kind == "insert":
+            visits = eng.insert(op["rowid"], vecs[op["vec"]], op["start"])
+            assert visits == op["visits"], f"{name} op {i}: insert visits"
+        elif kind == "delete":
+            eng.delete(op["rowid"])
+        elif kind == "search":
+            visits, topk = eng.search(vecs[op["vec"]], op["k"], op["start"])
+            assert visits == op["visits"], f"{name} op {i}: search visits"
+            assert topk == op["topk"], f"{name} op {i}: search topk"
+        if "adj" in op:
+            assert eng.adjacency_bits() == op["adj"], (
+                f"{name} op {i}: adjacency"
+            )
+            n_adj_checked += 1
+    assert n_adj_checked > 0
+
+
+def oracle_graph_from_snapshot(m, vecs, snap):
+    og = OracleGraph(
+        m["dims"], m["max_edges"], MetricType.parse(m["metric"]),
+        EdgeType.FLOAT32, m["alpha_x1000"] / 1000.0, m["insert_l"],
+        m["search_l"],
+    )
+    for r_str, edges in snap["adj"].items():
+        r = int(r_str)
+        og.vectors[r] = vecs[r - 1]  # build scenarios: rowid r = vec r-1
+        og.neighbors[r] = [e[0] for e in edges]
+        og.edge_codes[r] = [vecs[e[0] - 1] for e in edges]
+    return og
+
+
+@pytest.mark.parametrize("name", BUILD_TRACES)
+def test_engine_spec_oracle_matches_reference_search(name):
+    """Layer 2: tests/oracle.py search == reference C search (visit order
+    AND top-k) on the zombie-free post-build graph."""
+    g, m, vecs = load(name)
+    og = oracle_graph_from_snapshot(m, vecs, first_snapshot(g))
+    searches = [op for op in g["ops"] if op["op"] == "search"]
+    assert searches
+    for op in searches:
+        topk, _, visits, _ = og.search(
+            vecs[op["vec"]], op["k"], l_search=m["search_l"],
+            entry=op["start"], max_visits=8 * m["search_l"],
+        )
+        assert visits == op["visits"]
+        assert topk == op["topk"]
+
+
+@pytest.mark.parametrize("name", BUILD_TRACES)
+def test_engine_matches_reference_search(name):
+    """Layer 3: the jitted engine beam_search == reference C search."""
+    import jax.numpy as jnp
+
+    from duckdb_lm_diskann_tpu.core.graph import (
+        GraphParams,
+        make_graph_arrays,
+    )
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search
+
+    g, m, vecs = load(name)
+    snap = first_snapshot(g)
+    rowids = sorted(int(r) for r in snap["adj"])
+    slot_of = {r: i for i, r in enumerate(rowids)}
+    R = m["max_edges"]
+    params = GraphParams(
+        dims=m["dims"], r=R, metric=MetricType.parse(m["metric"]),
+        edge_type=EdgeType.FLOAT32, alpha=m["alpha_x1000"] / 1000.0,
+        l_insert=m["insert_l"], l_search=m["search_l"],
+        max_visits=8 * m["search_l"], pallas="0",
+    )
+    cap = len(rowids)
+    arrays = make_graph_arrays(params, cap)
+    vmat = np.zeros((cap, m["dims"]), np.float32)
+    nmat = np.full((cap, R), -1, np.int32)
+    emat = np.zeros((cap, R, m["dims"]), np.float32)
+    for r in rowids:
+        s = slot_of[r]
+        vmat[s] = vecs[r - 1]
+        for j, e in enumerate(snap["adj"][str(r)]):
+            nmat[s, j] = slot_of[e[0]]
+            emat[s, j] = vecs[e[0] - 1]
+    arrays = arrays._replace(
+        vectors=jnp.asarray(vmat),
+        neighbors=jnp.asarray(nmat),
+        edge_f32=jnp.asarray(emat),
+        valid=jnp.ones((cap,), jnp.bool_),
+    )
+    for op in (o for o in g["ops"] if o["op"] == "search"):
+        res = beam_search(
+            arrays, jnp.asarray(vecs[op["vec"]][None, :]),
+            jnp.int32(slot_of[op["start"]]), params=params,
+            l_search=m["search_l"], k=op["k"],
+        )
+        count = int(res.visited_count[0])
+        visits = [rowids[s] for s in np.asarray(res.visited_slots[0])[:count]]
+        topk = [rowids[int(s)] for s in np.asarray(res.topk_slots[0]) if s >= 0]
+        assert visits == op["visits"]
+        assert topk == op["topk"]
+
+
+@pytest.mark.parametrize("name", [t for t in ALL_TRACES if "lifecycle" in t])
+def test_reference_delete_leaves_zombie_back_edges(name):
+    """Pin the EXECUTED reference behavior the golden harness uncovered:
+    diskAnnDelete's back-edge removal is a no-op (vectordiskann.c:1676
+    searches the neighbor's block for the neighbor's OWN rowid — a
+    self-edge — instead of the deleted node's), so deletes leave every
+    forward edge to the deleted row as a zombie. The engine deviates
+    deliberately (eager unlink + connectivity repair, PARITY.md)."""
+    g, m, vecs = load(name)
+    snaps = [op for op in g["ops"] if op["op"] == "snapshot"]
+    deletes = [op["rowid"] for op in g["ops"] if op["op"] == "delete"]
+    assert len(snaps) >= 2 and deletes
+    pre, post = snaps[0]["adj"], snaps[1]["adj"]
+    zombie_edges = 0
+    for r in deletes:
+        assert str(r) not in post  # the row itself is gone
+        for src, edges in post.items():
+            if src not in pre:
+                continue
+            zombie_edges += sum(1 for e in edges if e[0] == r)
+    assert zombie_edges > 0, "reference delete unexpectedly removed back-edges"
