@@ -15,10 +15,13 @@ index_config.cpp:104-148), plus a deeply-pipelined manual-DMA Pallas
 gather with K outstanding copies. Decides whether the block layout +
 manual kernel are worth the refactor before any code changes.
 
-Methodology note: the tunneled TPU backend carries ~0.5 ms fixed dispatch
-overhead per jitted call, so standalone per-op timings are floor-limited
-and misleading; only in-loop (fori_loop, one dispatch) measurements are
-trustworthy. Run exclusively (no concurrent TPU work).
+Methodology note (round 3): the tunneled TPU backend carries a LARGE
+per-dispatch fixed overhead (measured ~20-25 ms per jitted call — big
+enough to have polluted the round-2 single-point in-loop numbers by
+~0.1-0.5 ms/iter). Every cost here is therefore the SLOPE of total time
+vs fori_loop iteration count measured at two ITERS points, which cancels
+the fixed dispatch cost exactly. Run exclusively (no concurrent TPU
+work).
 """
 import sys
 import time
@@ -37,33 +40,44 @@ from duckdb_lm_diskann_tpu.common.types import MetricType
 
 B, L, R, D = 1024, 100, 64, 128
 CAP = 1 << 20
-ITERS = 200
+ITERS_LO, ITERS_HI = 64, 256
 metric = MetricType.L2
 V = 4 * L
 
 
-def _time_loop(run, args_list, per_iter=ITERS, reps=4):
-    _ = np.asarray(run(args_list[0]))  # compile + warm
-    ts = []
+def _time_loop(build_run, args_list, reps=4):
+    """build_run(iters) -> fn(args). Returns the ms/iteration SLOPE between
+    ITERS_LO and ITERS_HI (cancels the per-dispatch fixed overhead)."""
+    run_lo, run_hi = build_run(ITERS_LO), build_run(ITERS_HI)
+    _ = np.asarray(run_lo(args_list[0]))  # compile + warm
+    _ = np.asarray(run_hi(args_list[0]))
+    t_lo, t_hi = [], []
     for i in range(reps):
+        a = args_list[(i + 1) % len(args_list)]
         t0 = time.perf_counter()
-        _ = np.asarray(run(args_list[(i + 1) % len(args_list)]))
-        ts.append(time.perf_counter() - t0)
-    return min(ts) / per_iter * 1e3  # ms per iteration
+        _ = np.asarray(run_lo(a))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(run_hi(a))
+        t_hi.append(time.perf_counter() - t0)
+    return (min(t_hi) - min(t_lo)) / (ITERS_HI - ITERS_LO) * 1e3
 
 
 def knockout():
     rng = np.random.default_rng(0)
     vectors = jnp.asarray(rng.standard_normal((CAP, D)).astype(np.float32))
+    # planar u32 words (the round-3 device layout, ops/quantize.words_per_i4)
     edge_i4 = jnp.asarray(
-        rng.integers(0, 255, (CAP, R, D // 2), dtype=np.uint8)
+        rng.integers(0, 1 << 32, (CAP, R, D // 8), dtype=np.uint64).astype(
+            np.uint32
+        )
     )
     edge_scale = jnp.asarray(rng.random((CAP, R)).astype(np.float32))
     neighbors = jnp.asarray(rng.integers(0, CAP, (CAP, R), dtype=np.int32))
     queries = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
 
-    def make_loop(*, sort=True, egather=True, vislog=True, inbeam=True,
-                  vgather=True, bitonic=False):
+    def make_loop(iters, *, sort=True, egather=True, vislog=True,
+                  inbeam=True, vgather=True, bitonic=False):
         def body(i, s):
             # Tables ride in the loop carry (returned unchanged) so they are
             # jit ARGUMENTS, not 5.4 GB of captured constants — constant
@@ -152,7 +166,7 @@ def knockout():
             s = (beam_dist, beam_slot, jnp.zeros((B, L), jnp.bool_),
                  jnp.full((B, V), -1, jnp.int32), jnp.full((B, V), jnp.inf),
                  jnp.zeros((B,), jnp.int32), tables)
-            s = jax.lax.fori_loop(0, ITERS, body, s)
+            s = jax.lax.fori_loop(0, iters, body, s)
             return s[0].sum() + s[4].sum() + s[3].sum()
 
         tables = (vectors, edge_i4, edge_scale, neighbors, queries)
@@ -172,7 +186,7 @@ def knockout():
         ("bare(min)", dict(sort=False, egather=False, vislog=False,
                            inbeam=False, vgather=False)),
     ]:
-        ms = _time_loop(make_loop(**kw), seeds)
+        ms = _time_loop(lambda it, kw=kw: make_loop(it, **kw), seeds)
         print(f"{name:12s}: {ms:.3f} ms/hop", flush=True)
 
 
@@ -347,13 +361,16 @@ def gather_ab():
             nidx = (idx + s.astype(jnp.int32) + i) & (CAP - 1)
             return (jnp.abs(nidx), acc + jnp.sum(s), tbl)
 
-        @jax.jit
-        def run_impl(seed, tbl):
-            out = jax.lax.fori_loop(
-                0, ITERS, body, (seed, jnp.uint32(0), tbl))
-            return out[1]
+        def build_run(iters):
+            @jax.jit
+            def run_impl(seed, tbl):
+                out = jax.lax.fori_loop(
+                    0, iters, body, (seed, jnp.uint32(0), tbl))
+                return out[1]
 
-        return lambda seed: run_impl(seed, tables)
+            return lambda seed: run_impl(seed, tables)
+
+        return build_run
 
     SEP4 = (vec_u32, nbr_u32, sc_u32, codes_u32)
 

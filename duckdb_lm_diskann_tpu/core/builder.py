@@ -165,8 +165,8 @@ def write_neighbor_rows(
         new["edge_i8"] = arrays.edge_i8.at[tgt].set(codes, mode="drop")
         new["edge_scale"] = arrays.edge_scale.at[tgt].set(scale, mode="drop")
     elif et is EdgeType.INT4:
-        codes, scale = encode_int4(nbr_vecs)  # [T, R, Dh], [T, R]
-        codes = jnp.where(nbr_ok[..., None], codes, jnp.uint8(0))
+        codes, scale = encode_int4(nbr_vecs)  # planar u32 [T, R, Dw], [T, R]
+        codes = jnp.where(nbr_ok[..., None], codes, jnp.uint32(0))
         scale = jnp.where(nbr_ok, scale, 0.0)
         new["edge_i4"] = arrays.edge_i4.at[tgt].set(codes, mode="drop")
         new["edge_scale"] = arrays.edge_scale.at[tgt].set(scale, mode="drop")

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common.types import EdgeType, MetricType, VectorType
+from ..ops.quantize import words_per_i4
 from .config import LmDiskannConfig, words_per_plane_u32
 
 
@@ -60,7 +61,7 @@ class GraphArrays(NamedTuple):
     edge_pos: jnp.ndarray  # u32[C, R, W]  (TERNARY; sign plane for FLOAT1BIT) else [C, 0, 0]
     edge_neg: jnp.ndarray  # u32[C, R, W]  (TERNARY) else [C, 0, 0]
     edge_i8: jnp.ndarray  # i8[C, R, D]   (INT8)    else [C, 0, 0]
-    edge_i4: jnp.ndarray  # u8[C, R, ceil(D/2)] (INT4) else [C, 0, 0]
+    edge_i4: jnp.ndarray  # u32[C, R, ceil(D/8)] planar words (INT4; see ops/quantize.words_per_i4) else [C, 0, 0]
     edge_scale: jnp.ndarray  # f32[C, R]   (INT8/INT4) else [C, 0]
     edge_f32: jnp.ndarray  # f32[C, R, D] (FLOAT32) / f16[C, R, D] (FLOAT16) else [C, 0, 0]
     # Rows mutated since the last checkpoint (the V2 design's dirty-block
@@ -173,7 +174,7 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
     i4 = et is EdgeType.INT4
     f32 = et is EdgeType.FLOAT32
     f16 = et is EdgeType.FLOAT16
-    dh = (d + 1) // 2
+    i4w = words_per_i4(d)
     vec_dtype = (
         jnp.int8 if params.node_vtype is VectorType.INT8 else jnp.float32
     )
@@ -185,7 +186,7 @@ def make_graph_arrays(params: GraphParams, capacity: int) -> GraphArrays:
         edge_pos=jnp.zeros((capacity, r if pos else 0, w if pos else 0), jnp.uint32),
         edge_neg=jnp.zeros((capacity, r if tern else 0, w if tern else 0), jnp.uint32),
         edge_i8=jnp.zeros((capacity, r if i8 else 0, d if i8 else 0), jnp.int8),
-        edge_i4=jnp.zeros((capacity, r if i4 else 0, dh if i4 else 0), jnp.uint8),
+        edge_i4=jnp.zeros((capacity, r if i4 else 0, i4w if i4 else 0), jnp.uint32),
         edge_scale=jnp.zeros((capacity, r if (i8 or i4) else 0), jnp.float32),
         edge_f32=jnp.zeros(
             (capacity, r if (f32 or f16) else 0, d if (f32 or f16) else 0),

@@ -116,9 +116,7 @@ def _score_edges(
     mode = pallas_kernels.dispatch_mode(params.pallas)
     deep = mode in ("deep", "deep-interpret")
     interp = mode in ("interpret", "deep-interpret")
-    deep_ok = (
-        et is EdgeType.INT4 and params.dims % 2 == 0
-    ) or et is EdgeType.TERNARY
+    deep_ok = et in (EdgeType.INT4, EdgeType.TERNARY)
     if deep and not deep_ok:  # deep kernels exist for INT4/TERNARY only
         mode = "interpret" if interp else "compiled"
         deep = False
@@ -177,7 +175,7 @@ def _score_edges(
                 metric=params.metric,
                 interpret=interp,
             ).reshape(B, E, R)
-        if mode is not None and params.dims % 2 == 0:
+        if mode is not None:
             return pallas_kernels.int4_frontier_scores(
                 cur.reshape(B * E),
                 flat_q(queries),
@@ -186,7 +184,7 @@ def _score_edges(
                 metric=params.metric,
                 interpret=interp,
             ).reshape(B, E, R)
-        packed = arrays.edge_i4[cur]  # [B, E, R, Dh] — half INT8's bytes
+        packed = arrays.edge_i4[cur]  # planar u32 [B, E, R, Dw] — half INT8's bytes
         scale = arrays.edge_scale[cur]  # [B, E, R]
         vecs = decode_int4(packed, scale, params.dims)
         return pairwise_distance(queries[:, None, None, :], vecs, params.metric)

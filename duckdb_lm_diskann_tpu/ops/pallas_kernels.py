@@ -235,11 +235,11 @@ def ternary_frontier_scores_deep(
 # ops; this kernel streams each visited node's cached codes through VMEM
 # once: row DMA -> dequant -> distance (VPU), out [1, R] per grid step.
 #
-# INT4 codes stay split as (low nibble = even dims, high nibble = odd dims):
-# distances decompose as sum over even dims + sum over odd dims, so the
-# kernel never materializes the interleaved [R, D] layout (TPU reshapes
-# across the lane dim are the one thing Pallas punishes). The query arrives
-# pre-split into (q_even, q_odd) by the wrapper.
+# INT4 codes arrive in the planar u32 device layout (nibble slot s of word
+# w = dim s*DW + w, ops/quantize.words_per_i4): distances decompose as a sum
+# over the 8 dim chunks, so the kernel never materializes an interleaved
+# [R, D] layout (TPU reshapes across the lane dim are the one thing Pallas
+# punishes). The query arrives pre-chunked as [B, 8, DW] by the wrapper.
 # ---------------------------------------------------------------------------
 
 
@@ -269,31 +269,38 @@ def _metric_distance(metric, q_parts, v_parts):
     raise ValueError(f"Unsupported metric type {metric}")
 
 
-def _int4_score_kernel(metric, cur_ref, qe_ref, qo_ref, codes_ref, scale_ref, out_ref):
+def _unpack_planar_parts(words_i32, scale):
+    """Planar u32 words [R, DW] + scales [R] -> 8 dequantized chunk views
+    f32[R, DW] (chunk s = dims [s*DW, (s+1)*DW))."""
+    return [
+        ((((words_i32 >> (4 * s)) & 0xF) ^ 8) - 8).astype(jnp.float32)
+        * scale[:, None]
+        for s in range(8)
+    ]
+
+
+def _int4_score_kernel(metric, cur_ref, q_ref, codes_ref, scale_ref, out_ref):
     """One grid step: distances from one query to all R cached INT4 neighbor
     codes of its current node.
 
     TPU block rules (last two block dims divisible by (8, 128) or equal to
-    the array dims) make per-row 2D blocks illegal, so the query halves and
-    the output stay whole-array VMEM blocks indexed by program_id — the same
+    the array dims) make per-row 2D blocks illegal, so the queries and the
+    output stay whole-array VMEM blocks indexed by program_id — the same
     pattern as the ternary kernel above; only the codes/scales are per-step
     row DMAs driven by the scalar-prefetched slots.
 
-    qe/qo:  f32[B, Dh]     even-/odd-dim halves of all queries
-    codes:  u8[1, R, Dh]   packed nibbles (low=even dim, high=odd dim)
+    q:      f32[B, 8, DW]  dim-chunked queries (chunk s = dims s*DW..)
+    codes:  u32[1, R, DW]  planar nibble words (ops/quantize.words_per_i4)
     scale:  f32[1, 1, R]
     out:    f32[B, R]      (row i written per step)
     """
     i = pl.program_id(0)
-    qe = qe_ref[i, :]  # [Dh]
-    qo = qo_ref[i, :]
-    c = codes_ref[0].astype(jnp.int32)  # [R, Dh]
+    q = q_ref[i]  # [8, DW]
+    c = codes_ref[0].astype(jnp.int32)  # [R, DW]
     s = scale_ref[0, 0, :]  # [R]
-    lo = (((c & 0xF) ^ 8) - 8).astype(jnp.float32)  # even dims
-    hi = ((((c >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)  # odd dims
-    v_lo = lo * s[:, None]
-    v_hi = hi * s[:, None]
-    out_ref[i, :] = _metric_distance(metric, [qe, qo], [v_lo, v_hi])
+    v_parts = _unpack_planar_parts(c, s)
+    q_parts = [q[sl, :] for sl in range(8)]
+    out_ref[i, :] = _metric_distance(metric, q_parts, v_parts)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
@@ -309,20 +316,18 @@ def int4_frontier_scores(
     """Fused gather+dequant+distance: f32[B, R] approximate distances of every
     cached INT4 neighbor of each query's current node."""
     B, D = queries.shape
-    if D % 2:
-        raise ValueError("int4 kernel requires even D")
-    C, R, Dh = edge_i4.shape
-    q_even = queries[:, 0::2]
-    q_odd = queries[:, 1::2]
+    C, R, DW = edge_i4.shape
+    if D > 8 * DW:
+        raise ValueError("edge_i4 words do not cover the query dims")
+    q = jnp.pad(queries, ((0, 0), (0, 8 * DW - D))).reshape(B, 8, DW)
     scale3 = edge_scale.reshape(C, 1, R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
-            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
-            pl.BlockSpec((1, R, Dh), lambda i, cur: (cur[i], 0, 0)),
+            pl.BlockSpec((B, 8, DW), lambda i, cur: (0, 0, 0)),
+            pl.BlockSpec((1, R, DW), lambda i, cur: (cur[i], 0, 0)),
             pl.BlockSpec((1, 1, R), lambda i, cur: (cur[i], 0, 0)),
         ],
         out_specs=pl.BlockSpec((B, R), lambda i, cur: (0, 0)),
@@ -332,11 +337,11 @@ def int4_frontier_scores(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
         interpret=interpret,
-    )(cur_slots, q_even, q_odd, edge_i4, scale3)
+    )(cur_slots, q, edge_i4, scale3)
 
 
 def _int4_deep_kernel(
-    metric, n_flight, cur_ref, qe_ref, qo_ref, codes_hbm, scale_hbm,
+    metric, n_flight, cur_ref, q_ref, codes_hbm, scale_hbm,
     out_ref, codes_buf, scale_buf, sems
 ):
     """Deep-pipelined variant of the INT4 kernel: K manual HBM->VMEM row
@@ -375,15 +380,12 @@ def _int4_deep_kernel(
         scale_hbm.at[cur_ref[i]], scale_buf.at[slot], sems.at[slot]
     ).wait()
 
-    qe = qe_ref[i, :]  # [Dh]
-    qo = qo_ref[i, :]
-    c = codes_buf[slot].astype(jnp.int32)  # [R, Dh]
+    q = q_ref[i]  # [8, DW]
+    c = codes_buf[slot].astype(jnp.int32)  # [R, DW]
     s = scale_buf[slot][0, :]  # [R]
-    lo = (((c & 0xF) ^ 8) - 8).astype(jnp.float32)  # even dims
-    hi = ((((c >> 4) & 0xF) ^ 8) - 8).astype(jnp.float32)  # odd dims
-    v_lo = lo * s[:, None]
-    v_hi = hi * s[:, None]
-    out_ref[i, :] = _metric_distance(metric, [qe, qo], [v_lo, v_hi])
+    v_parts = _unpack_planar_parts(c, s)
+    q_parts = [q[sl, :] for sl in range(8)]
+    out_ref[i, :] = _metric_distance(metric, q_parts, v_parts)
 
     nxt = i + K
 
@@ -407,25 +409,23 @@ def int4_frontier_scores_deep(
 ) -> jnp.ndarray:
     """Fused gather+dequant+distance with a K-deep manual DMA pipeline."""
     B, D = queries.shape
-    if D % 2:
-        raise ValueError("int4 kernel requires even D")
-    C, R, Dh = edge_i4.shape
-    q_even = queries[:, 0::2]
-    q_odd = queries[:, 1::2]
+    C, R, DW = edge_i4.shape
+    if D > 8 * DW:
+        raise ValueError("edge_i4 words do not cover the query dims")
+    q = jnp.pad(queries, ((0, 0), (0, 8 * DW - D))).reshape(B, 8, DW)
     scale3 = edge_scale.reshape(C, 1, R)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
-            pl.BlockSpec((B, Dh), lambda i, cur: (0, 0)),
+            pl.BlockSpec((B, 8, DW), lambda i, cur: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # codes stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # scales stay in HBM
         ],
         out_specs=pl.BlockSpec((B, R), lambda i, cur: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n_flight, R, Dh), jnp.uint8),
+            pltpu.VMEM((n_flight, R, DW), jnp.uint32),
             pltpu.VMEM((n_flight, 1, R), jnp.float32),
             pltpu.SemaphoreType.DMA((n_flight,)),
         ],
@@ -435,7 +435,7 @@ def int4_frontier_scores_deep(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, R), jnp.float32),
         interpret=interpret,
-    )(cur_slots, q_even, q_odd, edge_i4, scale3)
+    )(cur_slots, q, edge_i4, scale3)
 
 
 def _int8_score_kernel(metric, cur_ref, q_ref, codes_ref, scale_ref, out_ref):

@@ -36,6 +36,7 @@ from ..common.types import EdgeType, INVALID_ROW_ID, MetricType, VectorType
 from ..core.config import LmDiskannConfig
 from ..core.coordinator import Coordinator
 from ..core.graph import make_graph_arrays
+from ..ops.quantize import i4_packed_from_planar_np, i4_planar_from_packed_np
 from .block_codec import decode_blocks, encode_blocks, resolve_layout
 from .file_service import open_block_file
 from .shadow import ShadowStorageService
@@ -163,7 +164,11 @@ def save_index(
                 kw["edge_i8"] = pull(arrays.edge_i8)
                 kw["edge_scale"] = pull(arrays.edge_scale)
             elif et is EdgeType.INT4:
-                kw["edge_i4"] = pull(arrays.edge_i4)
+                # device planar words -> the disk block format's
+                # byte-interleaved packing (ops/quantize.words_per_i4)
+                kw["edge_i4"] = i4_packed_from_planar_np(
+                    pull(arrays.edge_i4), coord.config.dimensions
+                )
                 kw["edge_scale"] = pull(arrays.edge_scale)
             elif et is EdgeType.FLOAT32 or et is EdgeType.FLOAT16:
                 kw["edge_f32"] = pull(arrays.edge_f32)
@@ -355,7 +360,12 @@ def load_index(
                 new["edge_i8"] = host_pad("edge_i8", decoded["edge_i8"])
                 new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
             elif et is EdgeType.INT4:
-                new["edge_i4"] = host_pad("edge_i4", decoded["edge_i4"])
+                new["edge_i4"] = host_pad(
+                    "edge_i4",
+                    i4_planar_from_packed_np(
+                        decoded["edge_i4"], coord.config.dimensions
+                    ),
+                )
                 new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
             elif et is EdgeType.FLOAT32 or et is EdgeType.FLOAT16:
                 new["edge_f32"] = host_pad("edge_f32", decoded["edge_f32"])

@@ -64,11 +64,16 @@ def test_int4_frontier_scores_match_jnp(rng):
     from duckdb_lm_diskann_tpu.common.types import MetricType
     from duckdb_lm_diskann_tpu.ops.pallas_kernels import int4_frontier_scores
     from duckdb_lm_diskann_tpu.ops.distance import pairwise_distance
-    from duckdb_lm_diskann_tpu.ops.quantize import decode_int4, encode_int4_np
+    from duckdb_lm_diskann_tpu.ops.quantize import (
+        decode_int4,
+        encode_int4_np,
+        i4_planar_from_packed_np,
+    )
 
     C, R, B, D = 64, 16, 8, 32
     nbr_vecs = rng.standard_normal((C, R, D)).astype(np.float32)
-    packed, scales = encode_int4_np(nbr_vecs)
+    packed_u8, scales = encode_int4_np(nbr_vecs)
+    packed = i4_planar_from_packed_np(packed_u8, D)  # device planar words
     q = rng.standard_normal((B, D)).astype(np.float32)
     cur = rng.integers(0, C, B).astype(np.int32)
     for metric in (MetricType.L2, MetricType.IP, MetricType.COSINE):
@@ -156,11 +161,15 @@ def test_int4_deep_kernel_matches_blockspec_kernel(rng):
         int4_frontier_scores,
         int4_frontier_scores_deep,
     )
-    from duckdb_lm_diskann_tpu.ops.quantize import encode_int4_np
+    from duckdb_lm_diskann_tpu.ops.quantize import (
+        encode_int4_np,
+        i4_planar_from_packed_np,
+    )
 
     C, R, B, D = 64, 16, 20, 32
     nbr_vecs = rng.standard_normal((C, R, D)).astype(np.float32)
-    packed, scales = encode_int4_np(nbr_vecs)
+    packed_u8, scales = encode_int4_np(nbr_vecs)
+    packed = i4_planar_from_packed_np(packed_u8, D)  # device planar words
     q = rng.standard_normal((B, D)).astype(np.float32)
     cur = rng.integers(0, C, B).astype(np.int32)
     for metric in (MetricType.L2, MetricType.IP, MetricType.COSINE):
