@@ -382,6 +382,10 @@ def execute(plan: LogicalOp) -> dict:
         if table is not None:
             for c in plan.columns:
                 out[c] = table.fetch(res["row_ids"], c)
+            # keep the binding so an enclosing operator (an UNOPTIMIZED
+            # TopN over a projection) can still evaluate column exprs;
+            # top-level callers pop it.
+            out["_table"] = table
         return out
 
     if isinstance(plan, LogicalIndexScan):

@@ -27,12 +27,30 @@ from pathlib import Path
 import numpy as np
 
 from ..common.types import MetricType
+from . import planner
 from .database import Database
+from .functions import ColumnRef, Const, FunctionExpr
 
 _DIST_FUNCS = {
     "array_distance": MetricType.L2,
     "array_cosine_distance": MetricType.COSINE,
     "array_negative_inner_product": MetricType.IP,
+}
+# similarity spellings accepted in ORDER BY (rewritten by the expression
+# optimizer when written as 1.0 - fn(...), hnsw_optimize_expr.cpp:18-75)
+_ALL_FUNCS = set(_DIST_FUNCS) | {
+    "array_cosine_similarity",
+    "array_inner_product",
+}
+
+_CMP_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
 }
 
 
@@ -43,6 +61,67 @@ class SqlTestError(AssertionError):
 def _parse_vector(text: str) -> np.ndarray:
     return np.asarray([float(x) for x in re.findall(r"-?\d+\.?\d*(?:e-?\d+)?", text)],
                       np.float32)
+
+
+def _parse_order_expr(text: str):
+    """ORDER BY expression -> planner Expr. Supported shapes (the operand
+    forms the reference's TopN matcher accepts, hnsw_optimize_scan.cpp:
+    83-130, plus the similarity form its expression optimizer rewrites):
+
+        fn(col, [v]) | fn([v], col) | <const> - fn(col, [v])
+    """
+    text = text.strip()
+    m = re.match(r"(-?\d+\.?\d*)\s*-\s*(.*)$", text)
+    shift = None
+    if m:
+        shift = float(m.group(1))
+        text = m.group(2).strip()
+    m = re.match(r"(\w+)\s*\(\s*([^()]*)\)\s*$", text)
+    if not m or m.group(1) not in _ALL_FUNCS:
+        raise SqlTestError(f"unsupported ORDER BY expression: {text!r}")
+    fn = m.group(1)
+    args = []
+    for a in re.split(r",(?![^\[]*\])", m.group(2)):
+        a = a.strip()
+        if a.startswith("["):
+            args.append(Const(_parse_vector(a)))
+        else:
+            args.append(ColumnRef(a))
+    expr = FunctionExpr(fn, tuple(args))
+    if shift is not None:
+        expr = FunctionExpr("-", (Const(shift), expr))
+    return expr
+
+
+_PLAN_NAMES = {
+    planner.LogicalIndexScan: "LM_DISKANN_INDEX_SCAN",
+    planner.LogicalTopN: "TOP_N",
+    planner.LogicalTopKAgg: "TOPK_AGG",
+    planner.LogicalProjection: "PROJECTION",
+    planner.LogicalGet: "SEQ_SCAN",
+    planner.LogicalKnnJoin: "KNN_JOIN",
+    planner.LogicalWindow: "WINDOW",
+    planner.LogicalCrossProduct: "CROSS_PRODUCT",
+    planner.LogicalExprFilter: "FILTER",
+    planner.LogicalFilter: "FILTER",
+}
+
+
+def _plan_lines(op) -> list:
+    """Flatten a plan top-down into one operator name per row — the EXPLAIN
+    surface the reference's rewrite tests grep (e.g. asserting
+    HNSW_INDEX_SCAN appears after the TopN optimization)."""
+    name = _PLAN_NAMES.get(type(op), type(op).__name__)
+    if isinstance(op, planner.LogicalIndexScan) and op.residual_filter is not None:
+        name += "(residual_filter)"
+    if isinstance(op, planner.LogicalGet) and op.filter is not None:
+        name += "(filtered)"
+    rows = [[name]]
+    for attr in ("child", "left", "right"):
+        c = getattr(op, attr, None)
+        if isinstance(c, planner.LogicalOp):
+            rows.extend(_plan_lines(c))
+    return rows
 
 
 class MiniSql:
@@ -111,36 +190,120 @@ class MiniSql:
             self.db.create_index(m.group(1), m.group(2), m.group(3), options=options)
             return []
 
+        explain = False
+        m = re.match(r"explain\s+(.*)$", low, re.S)
+        if m:
+            explain = True
+            low = m.group(1).strip()
+
+        # SELECT <cols> FROM vector_top_k('idx', [q], k) — libSQL's
+        # by-index-name top-k virtual table (vectorIndexInt.h:228-236).
         m = re.match(
-            r"select\s+(\w+)\s+from\s+(\w+)"
-            r"(?:\s+where\s+(\w+)\s*=\s*(-?\d+))?"
-            r"\s+order\s+by\s+(\w+)\s*\(\s*(\w+)\s*,"
-            r"\s*(\[[^\]]*\])\s*\)\s*(?:asc\s*)?limit\s+(\d+)\s*$",
+            r"select\s+([\w,\s]+)\s+from\s+vector_top_k\(\s*'(\w+)'\s*,"
+            r"\s*(\[[^\]]*\])\s*,\s*(\d+)\s*\)\s*$",
             low, re.S,
         )
         if m:
-            out_col, tname, wcol, wval, fn, vcol, qtext, k = m.groups()
-            if fn not in _DIST_FUNCS:
-                raise SqlTestError(f"unsupported distance function {fn}")
+            cols = [c.strip() for c in m.group(1).split(",")]
+            res = self.db.vector_top_k(
+                m.group(2), _parse_vector(m.group(3)), int(m.group(4))
+            )
+            res["rowid"] = res.pop("row_ids")
+            return [
+                [int(res[c][i]) if c == "rowid" else res[c][i]
+                 for c in cols]
+                for i in range(len(res["rowid"]))
+            ]
+
+        # SELECT <cols> FROM knn_join(t, col, [[..],[..]], k) — the lateral
+        # top-k join surface (optimized into one batched MultiScan,
+        # hnsw_optimize_join.cpp; rank is 1-indexed like the reference).
+        m = re.match(
+            r"select\s+([\w,\s]+)\s+from\s+knn_join\(\s*(\w+)\s*,\s*(\w+)\s*,"
+            r"\s*(\[\s*\[.*\]\s*\])\s*,\s*(\d+)\s*\)\s*$",
+            low, re.S,
+        )
+        if m:
+            cols = [c.strip() for c in m.group(1).split(",")]
+            queries = np.asarray(
+                [_parse_vector(row)
+                 for row in re.findall(r"\[([^\[\]]*)\]", m.group(4))],
+                np.float32,
+            )
+            res, plan = self.db.knn_join(
+                m.group(2), m.group(3), queries, int(m.group(5)),
+                return_plan=True,
+            )
+            if explain:
+                return _plan_lines(plan)
+            res = dict(res)
+            res["rowid"] = res.pop("row_ids")
+            n = len(res["rowid"])
+            return [
+                [int(res[c][i]) for c in cols] for i in range(n)
+            ]
+
+        # SELECT <out> | min_by(<out>, <dist>, k) FROM t [WHERE col op num]
+        # [ORDER BY <expr> [ASC] LIMIT k]
+        m = re.match(
+            r"select\s+(.*?)\s+from\s+(\w+)"
+            r"(?:\s+where\s+(\w+)\s*(=|!=|<>|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?))?"
+            r"(?:\s+order\s+by\s+(.*?)\s*(?:asc\s*)?limit\s+(\d+))?\s*$",
+            low, re.S,
+        )
+        if m:
+            sel, tname, wcol, wop, wval, order_text, k = m.groups()
+            t = self.db.tables[tname]
             flt = None
             if wcol is not None:
-                # WHERE col = const above the TopN: becomes the residual
-                # filter the optimizer pulls up / pushes down
-                # (hnsw_optimize_scan.cpp:160-200 + filtered search).
-                want = int(wval)
+                # WHERE col op const: the residual filter the optimizer
+                # pulls up above the index scan / pushes down as a filtered
+                # search (hnsw_optimize_scan.cpp:160-200).
+                want = float(wval)
+                cmp = _CMP_OPS[wop]
 
-                def flt(table, rowids, _c=wcol, _v=want):
-                    return np.asarray(table.fetch(rowids, _c)) == _v
+                def flt(table, rowids, _c=wcol, _f=cmp, _v=want):
+                    if _c == "rowid":
+                        return _f(np.asarray(rowids, np.float64), _v)
+                    return _f(
+                        np.asarray(table.fetch(rowids, _c), np.float64), _v
+                    )
 
-            res = self.db.knn(
-                tname, vcol, _parse_vector(qtext), int(k),
-                metric=_DIST_FUNCS[fn], filter=flt,
+            get = planner.LogicalGet(t, filter=flt)
+            mb = re.match(
+                r"min_by\(\s*(\w+)\s*,\s*(.*)\s*,\s*(\d+)\s*\)\s*$", sel, re.S
             )
-            t = self.db.tables[tname]
+            if mb:
+                # AGG min_by(ret, dist, k) (hnsw_optimize_topk.cpp:51-228)
+                out_col = mb.group(1)
+                plan = planner.LogicalTopKAgg(
+                    get, out_col, _parse_order_expr(mb.group(2)),
+                    int(mb.group(3)),
+                )
+            else:
+                if order_text is None:
+                    raise SqlTestError(f"unsupported SQL: {sql!r}")
+                out_col = sel.strip()
+                # Projection between TopN and the scan — the shape the TopN
+                # matcher must see through (hnsw_optimize_scan.cpp:33-78).
+                proj_cols = [] if out_col == "rowid" else [out_col]
+                plan = planner.LogicalTopN(
+                    planner.LogicalProjection(get, proj_cols),
+                    _parse_order_expr(order_text),
+                    int(k),
+                )
+            optimized = planner.optimize(plan)
+            if explain:
+                return _plan_lines(optimized)
+            res = planner.execute(optimized)
+            res.pop("_table", None)
             if out_col == "rowid":
                 return [[int(r)] for r in res["row_ids"]]
-            return [[v.item() if hasattr(v, "item") else v]
-                    for v in t.fetch(res["row_ids"], out_col)]
+            if out_col in res:
+                vals = res[out_col]
+            else:
+                vals = t.fetch(res["row_ids"], out_col)
+            return [[v.item() if hasattr(v, "item") else v] for v in vals]
 
         m = re.match(r"delete\s+from\s+(\w+)\s+where\s+(\w+)\s*=\s*(\d+)\s*$", low)
         if m:

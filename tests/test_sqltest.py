@@ -14,6 +14,35 @@ from duckdb_lm_diskann_tpu.db.sqltest import (
 SQL_DIR = Path(__file__).parent / "sql"
 
 
+ALL_SQL_FILES = sorted(SQL_DIR.glob("*.sql.test"))
+
+
+@pytest.mark.parametrize(
+    "path", ALL_SQL_FILES, ids=[p.name.split(".")[0] for p in ALL_SQL_FILES]
+)
+def test_sqllogic_file(path):
+    """Replay every reference-format sqllogictest file: the rewrite edge
+    cases (filters above/below, similarity forms, join rank semantics) the
+    duckdb-vss suite covers live here as SQL, not just Python unit tests."""
+    n = run_sqllogic_file(path)
+    assert n >= 4
+
+
+def test_sql_replay_set_covers_every_rewrite():
+    """The SQL replay set must keep covering each planner rewrite: at least
+    one file asserts each optimized plan shape via EXPLAIN."""
+    text = "\n".join(p.read_text() for p in ALL_SQL_FILES)
+    for marker in (
+        "LM_DISKANN_INDEX_SCAN",  # TopN rewrite fired
+        "LM_DISKANN_INDEX_SCAN(residual_filter)",  # filter pull-up
+        "TOP_N",  # negative case: rewrite correctly NOT fired
+        "TOPK_AGG",  # min_by fallback shape
+        "KNN_JOIN",  # lateral join rewrite fired
+        "CROSS_PRODUCT",  # lateral join fallback shape
+    ):
+        assert marker in text, f"no sql file asserts {marker}"
+
+
 def test_basic_sqllogic_file():
     n = run_sqllogic_file(SQL_DIR / "basic.sql.test")
     assert n >= 7
