@@ -541,7 +541,7 @@ def _pair_chunk(p: int, r: int, d: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "full_visited", "recip_rounds"),
+    static_argnames=("params", "full_visited", "recip_rounds", "all_valid"),
     donate_argnums=(0,),
 )
 def insert_step(
@@ -553,6 +553,7 @@ def insert_step(
     params: GraphParams,
     full_visited: bool,
     recip_rounds: int,
+    all_valid: bool = False,
 ) -> GraphArrays:
     """One whole batched insert as a single device program — store vectors,
     candidate search, RobustPrune, neighbor write, reciprocal replace/prune
@@ -595,6 +596,9 @@ def insert_step(
         # sequential (full_visited) path pins width 1 so batch-1 inserts
         # keep exact libSQL visit-order parity.
         beam_width=1 if full_visited else params.insert_beam_width,
+        # new slots are unreachable during this search (edges to them are
+        # written below), so the caller's no-tombstones assertion holds.
+        assume_all_valid=all_valid,
     )
     sel = batched_robust_prune(
         arrays, new_vecs, res.visited_slots, new_slots, params=params
@@ -748,6 +752,7 @@ def insert_batch(
     entry_slot: int,
     params: GraphParams,
     pad_to: int | None = None,
+    all_valid: bool = False,
 ) -> GraphArrays:
     """Insert a batch of nodes into the graph (functional device update).
     Caller owns slot allocation and capacity growth. Thin host shim over
@@ -796,6 +801,7 @@ def insert_batch(
             params=params,
             full_visited=full,
             recip_rounds=1 if full else _RECIP_ROUNDS,
+            all_valid=all_valid,
         )
         # Deferred edge-code refresh, in bounded chunks (still zero host
         # syncs: chunk boundaries are static, slices stay on device; each

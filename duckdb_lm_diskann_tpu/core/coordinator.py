@@ -75,6 +75,13 @@ class Coordinator:
         # Bounded: long-lived streaming inserters must not leak.
         self.build_timings: list[tuple[int, float]] = []
         self._needs_reachability_repair: bool = False
+        # True once ANY slot has ever been tombstoned (delete, failed-insert
+        # rollback, or loaded tombstones). While False, every edge target is
+        # live and searches run with assume_all_valid=True, skipping the
+        # per-hop neighbor-validity element gather — 65% of the hop cost at
+        # 1M rows (see beam_search docstring). Never cleared: a vacuum
+        # recycles slots but zombie in-edges into freed slots can persist.
+        self._ever_tombstoned: bool = False
         self.last_search_stats: SearchStats | None = None
         # Optional services injected by the db/store layers (the ctor
         # injection of Coordinator.hpp:46-48).
@@ -136,6 +143,7 @@ class Coordinator:
         snap._pad_bulk = False
         snap.build_timings = []
         snap._needs_reachability_repair = False
+        snap._ever_tombstoned = self._ever_tombstoned
         snap.last_search_stats = None
         snap.shadow_service = None
         snap._frozen = True
@@ -213,6 +221,7 @@ class Coordinator:
                     # so the whole build compiles the search/prune programs
                     # exactly once.
                     pad_to=self.max_insert_batch if self._pad_bulk else None,
+                    all_valid=not self._ever_tombstoned,
                 )
                 # Host-call duration: ~compile time on first-seen shapes
                 # (XLA compiles synchronously at dispatch), ~dispatch cost
@@ -247,6 +256,7 @@ class Coordinator:
             from .builder import _buffers_deleted
 
             if touched and not _buffers_deleted(self.arrays):
+                self._ever_tombstoned = True
                 self.arrays = self.arrays._replace(
                     valid=self.arrays.valid.at[
                         jnp.asarray(touched, jnp.int32)
@@ -337,6 +347,7 @@ class Coordinator:
             k=k,
             beam_width=beam_width,
             allowed=allowed,
+            assume_all_valid=not self._ever_tombstoned,
         )
         slots = np.asarray(res.topk_slots)
         dists = np.asarray(res.topk_dists)
@@ -437,6 +448,7 @@ class Coordinator:
 
         # Tombstone + unmap + enqueue (EnqueueDeletion + FreeNode).
         del_idx = jnp.asarray(del_slots)
+        self._ever_tombstoned = True  # searches now pay the validity gather
         self.arrays = self.arrays._replace(
             valid=self.arrays.valid.at[del_idx].set(False),
             dirty_rows=self.arrays.dirty_rows.at[del_idx].set(True),

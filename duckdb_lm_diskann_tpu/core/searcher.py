@@ -219,7 +219,10 @@ def _score_edges(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "l_search", "k", "max_visits", "beam_width"),
+    static_argnames=(
+        "params", "l_search", "k", "max_visits", "beam_width",
+        "assume_all_valid",
+    ),
 )
 def beam_search(
     arrays: GraphArrays,
@@ -232,6 +235,7 @@ def beam_search(
     max_visits: int = 0,
     beam_width: int = 1,
     allowed: jnp.ndarray | None = None,  # bool[capacity] predicate mask
+    assume_all_valid: bool = False,
 ) -> SearchResult:
     """Batched beam search. Returns top-k and the visited set (the insert
     path consumes visited, Searcher::SearchForInitialCandidates semantics).
@@ -242,7 +246,20 @@ def beam_search(
     disconnect the graph under selective filters), but the final top-k is
     taken over visited AND allowed nodes only. This is the filtered-DiskANN
     recipe, and strictly dominates post-filtering the k results: the
-    candidate pool is the full visited set (~max_visits rows), not k."""
+    candidate pool is the full visited set (~max_visits rows), not k.
+
+    ``assume_all_valid`` (static): the caller asserts every edge target is
+    a live node — true whenever the index has never tombstoned a slot
+    (fresh builds, append-only serving; Coordinator tracks it). The hop
+    then skips the neighbor-validity element gather
+    ``arrays.valid[nbrs]``, whose [B*E*R] random element lookups measure
+    ~0.53 ms/hop at B=1024/R=64/1M rows on TPU v5e — 65% of the entire
+    hop (benchmarks/profile_searcher.py knockout; element gathers cost
+    the same regardless of table size, so a bitmask table does not help).
+    With no invalid slots the mask is the identity, so results are
+    bit-identical; with tombstones present callers must pass False and
+    pay the gather (zombie-edge filtering, the deviation documented in
+    the module docstring)."""
     B = queries.shape[0]
     L = l_search
     E = beam_width
@@ -266,7 +283,10 @@ def beam_search(
 
     # --- Seed: entry point(s) with exact distance (vectordiskann.c:1306-1322).
     seeds_b = jnp.broadcast_to(seeds[None, :], (B, S))
-    seed_ok = (seeds_b >= 0) & arrays.valid[jnp.maximum(seeds_b, 0)]
+    if assume_all_valid:
+        seed_ok = seeds_b >= 0
+    else:
+        seed_ok = (seeds_b >= 0) & arrays.valid[jnp.maximum(seeds_b, 0)]
     seed_vec = arrays.vectors[jnp.maximum(seeds, 0)].astype(jnp.float32)
     seed_dist = pairwise_distance(
         queries[:, None, :], seed_vec[None, :, :], params.metric
@@ -343,7 +363,10 @@ def beam_search(
 
         # Frontier: all R neighbor slots + cached codes of each visited node.
         nbrs = arrays.neighbors[cur]  # [B, E, R]
-        nbr_live = (nbrs >= 0) & arrays.valid[jnp.maximum(nbrs, 0)]
+        if assume_all_valid:
+            nbr_live = nbrs >= 0  # the validity gather is the identity
+        else:
+            nbr_live = (nbrs >= 0) & arrays.valid[jnp.maximum(nbrs, 0)]
         nbr_live = nbr_live & active_e[:, :, None]
         edge_dist = _score_edges(arrays, params, cur, queries, q_pos, q_neg, nbrs)
 
@@ -450,7 +473,8 @@ def beam_search(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "l_insert", "beam_width")
+    jax.jit,
+    static_argnames=("params", "l_insert", "beam_width", "assume_all_valid"),
 )
 def search_for_initial_candidates(
     arrays: GraphArrays,
@@ -460,6 +484,7 @@ def search_for_initial_candidates(
     params: GraphParams,
     l_insert: int,
     beam_width: int = 1,
+    assume_all_valid: bool = False,
 ) -> SearchResult:
     """Insert-path candidate search: beam search with L=k=L_insert
     (Searcher::SearchForInitialCandidates, core/Searcher.cpp:275-294).
@@ -482,4 +507,5 @@ def search_for_initial_candidates(
             else 2 * l_insert
         ),
         beam_width=beam_width,
+        assume_all_valid=assume_all_valid,
     )

@@ -104,7 +104,10 @@ def _stack_rows(a: np.ndarray, n_shards: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "params", "l_search", "k", "beam_width")
+    jax.jit,
+    static_argnames=(
+        "mesh", "params", "l_search", "k", "beam_width", "assume_all_valid"
+    ),
 )
 def global_sharded_search(
     stacked: GraphArrays,  # every field [S, C/S, ...], sharded over 'data'
@@ -116,6 +119,7 @@ def global_sharded_search(
     l_search: int,
     k: int,
     beam_width: int = 1,
+    assume_all_valid: bool = False,
 ):
     """The single-graph beam search over row-sharded arrays: the one
     engine program, with every row access routed through PsumRows."""
@@ -135,6 +139,7 @@ def global_sharded_search(
             l_search=l_search,
             k=k,
             beam_width=beam_width,
+            assume_all_valid=assume_all_valid,
         )
         return res.topk_slots, res.topk_dists
 
@@ -238,6 +243,7 @@ class GlobalShardedIndex:
             params=coord.params,
             l_search=L,
             k=k,
+            assume_all_valid=not coord._ever_tombstoned,
             beam_width=beam_width,
         )
         slots = np.asarray(slots)

@@ -217,13 +217,17 @@ class ShardedIndex:
             params=self.params,
             l_search=L,
             k=k,
+            assume_all_valid=all(
+                not c._ever_tombstoned for c in self.coordinators
+            ),
         )
         ids = _join_rowids64(np.asarray(hi), np.asarray(lo))
         return ids, np.asarray(dists)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "params", "l_search", "k")
+    jax.jit,
+    static_argnames=("mesh", "params", "l_search", "k", "assume_all_valid"),
 )
 def sharded_search(
     stacked: StackedGraphArrays,
@@ -233,6 +237,7 @@ def sharded_search(
     params: GraphParams,
     l_search: int,
     k: int,
+    assume_all_valid: bool = False,
 ):
     """Per-shard local beam search + ONE all-gather top-k merge over ICI.
 
@@ -253,6 +258,7 @@ def sharded_search(
             params=params,
             l_search=l_search,
             k=k,
+            assume_all_valid=assume_all_valid,
         )
         # slot -> global rowid (int64 as hi/lo halves) before leaving the
         # shard; invalid result slots carry (-1, -1).

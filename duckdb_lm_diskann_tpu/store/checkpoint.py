@@ -335,6 +335,10 @@ def load_index(
         coord.allocator.high_water = hw
         coord.allocator.free_slots = free_slots
         coord.allocator.pending_deletion = tombstones
+        # A loaded index with any tombstoned/freed slots (or pending deltas
+        # to replay) may hold zombie in-edges: searches must keep the
+        # validity gather (see Coordinator._ever_tombstoned).
+        coord._ever_tombstoned = bool(tombstones or free_slots or pending)
 
         arrays = make_graph_arrays(coord.params, cap)
         new = {

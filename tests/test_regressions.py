@@ -101,7 +101,9 @@ def test_insert_rollback_clears_valid_and_defers_recycling(rng, monkeypatch):
     real_insert_batch = builder.insert_batch
     calls = {"n": 0}
 
-    def failing_insert_batch(arrays, slots, vecs, entry, params, pad_to=None):
+    def failing_insert_batch(
+        arrays, slots, vecs, entry, params, pad_to=None, all_valid=False
+    ):
         # Store the vectors (marks valid) then die — the mid-insert crash.
         calls["n"] += 1
         arrays = builder.store_vectors(
@@ -131,3 +133,49 @@ def test_insert_rollback_clears_valid_and_defers_recycling(rng, monkeypatch):
     # Vacuum reclaims them.
     assert coord.vacuum() == 4
     assert len(coord.allocator.free_slots) == 4
+
+
+def test_assume_all_valid_fast_path_is_bit_identical(rng):
+    """On a never-tombstoned index the validity gather is the identity, so
+    the fast path (assume_all_valid=True, skipping the [B*R] element
+    gather that dominates the hop on TPU) must return bit-identical
+    results to the eager path; the first delete must flip the coordinator
+    off the fast path and keep excluding tombstoned rows."""
+    import jax.numpy as jnp
+
+    from duckdb_lm_diskann_tpu.common.types import MetricType
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, alpha=1.2,
+        l_search=24, dimensions=8, node_vector_type=VectorType.FLOAT32,
+    )
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((120, 8)).astype(np.float32)
+    coord.insert(list(range(120)), data)
+    assert not coord._ever_tombstoned
+
+    q = jnp.asarray(data[:16] + 0.01)
+    kw = dict(params=coord.params, l_search=24, k=5)
+    fast = beam_search(coord.arrays, q, jnp.int32(coord.entry_slot),
+                       assume_all_valid=True, **kw)
+    slow = beam_search(coord.arrays, q, jnp.int32(coord.entry_slot),
+                       assume_all_valid=False, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(fast.topk_slots), np.asarray(slow.topk_slots))
+    np.testing.assert_array_equal(
+        np.asarray(fast.visited_slots), np.asarray(slow.visited_slots))
+    np.testing.assert_array_equal(
+        np.asarray(fast.topk_dists), np.asarray(slow.topk_dists))
+
+    # snapshot inherits the flag
+    assert not coord.snapshot()._ever_tombstoned
+
+    # first delete flips the flag; tombstoned rows stay excluded
+    coord.delete([5])
+    assert coord._ever_tombstoned
+    assert coord.snapshot()._ever_tombstoned
+    ids, _ = coord.search(data[5][None, :], 3)
+    assert 5 not in ids[0].tolist()
