@@ -45,6 +45,22 @@ def _round1(x):
     return None if x is None else round(x, 1)
 
 
+
+def _sync(res):
+    """Hard device sync via a tiny host pull. jax.block_until_ready has
+    been observed to RETURN EARLY on the tunneled axon backend (timings
+    collapse to ~0); a host transfer cannot lie, and the device stream is
+    in-order so pulling from the LAST dispatched result fences everything
+    before it."""
+    import numpy as _np
+
+    if hasattr(res, "topk_dists"):
+        return _np.asarray(res.topk_dists[:1, :1])
+    import jax as _jax
+
+    return _np.asarray(_jax.tree_util.tree_leaves(res)[0][:1])
+
+
 def make_corpus(n, dims, seed=0xBE7C4, zdim=12):
     """Smooth random manifold with intrinsic dimension 12 embedded in
     ``dims`` (z ~ N(0,I)^12 -> tanh(z W1) W2 + noise): the realistic model
@@ -100,6 +116,7 @@ def run_config(
     t0 = time.perf_counter()
     coord = Coordinator(cfg, initial_capacity=n)
     coord.bulk_build(list(range(n)), data, max_batch=1024)
+    _sync(coord.arrays)  # fence the last insert dispatch into build_s
     build_s = time.perf_counter() - t0
     # Compile vs steady split: XLA compiles synchronously at dispatch, so
     # host-call durations >1s on individual insert batches are one-time
@@ -125,7 +142,7 @@ def run_config(
 
     # Warmup + compile.
     res = run_batch(q_dev[:batch])
-    jax.block_until_ready(res)
+    _sync(res)
 
     # Throughput: timed loop over all query batches (device-resident).
     # Best of 3 repetitions — the tunneled chip shows run-to-run variance,
@@ -137,7 +154,7 @@ def run_config(
         outs = []
         for i in range(n_batches):
             outs.append(run_batch(q_dev[i * batch : (i + 1) * batch]))
-        jax.block_until_ready(outs)
+        _sync(outs[-1])  # in-order stream: the last result fences all
         elapsed = time.perf_counter() - t0
         qps = max(qps, n_batches * batch / elapsed)
 
@@ -169,13 +186,13 @@ def run_config(
             )
 
         try:
-            jax.block_until_ready(run_batch_f(q_dev[:batch]))
+            _sync(run_batch_f(q_dev[:batch]))
             t0 = time.perf_counter()
             outs_f = [
                 run_batch_f(q_dev[i * batch : (i + 1) * batch])
                 for i in range(n_batches)
             ]
-            jax.block_until_ready(outs_f)
+            _sync(outs_f[-1])
             return n_batches * batch / (time.perf_counter() - t0), None
         except Exception as e:  # noqa: BLE001
             print(f"# {tag} failed: {str(e)[:160]}",
@@ -205,11 +222,11 @@ def run_config(
     lat_batch = 64
     lat = []
     warm = run_batch(q_dev[:lat_batch])
-    jax.block_until_ready(warm)
+    _sync(warm)
     for i in range(min(64, n_queries // lat_batch)):
         t1 = time.perf_counter()
         o = run_batch(q_dev[i * lat_batch : (i + 1) * lat_batch])
-        jax.block_until_ready(o)
+        _sync(o)
         lat.append(time.perf_counter() - t1)
     lat = np.asarray(lat) * 1e3
     p50, p99 = float(np.percentile(lat, 50)), float(np.percentile(lat, 99))
@@ -269,13 +286,13 @@ def run_config(
                 params=coord.params, l_search=_L, k=k, beam_width=width,
             )
 
-        jax.block_until_ready(run_batch_s(q_dev[:batch]))
+        _sync(run_batch_s(q_dev[:batch]))
         t0 = time.perf_counter()
         outs_s = [
             run_batch_s(q_dev[i * batch : (i + 1) * batch])
             for i in range(n_batches)
         ]
-        jax.block_until_ready(outs_s)
+        _sync(outs_s[-1])
         qps_s = n_batches * batch / (time.perf_counter() - t0)
         ids_s = np.concatenate([np.asarray(o.topk_slots) for o in outs_s])
         sweep.append(
@@ -351,14 +368,21 @@ def run_config(
 
     if n_deletes:
         # Per-row delete latency (paper Table IV: LM-DiskANN ~45 ms/row).
-        del_ids = rng.choice(n, n_deletes, replace=False).tolist()
-        t0 = time.perf_counter()
-        coord.delete(del_ids)
-        # delete() dispatches repair/rescue asynchronously; the latency
-        # number must include the device work, not just host dispatch.
-        jax.block_until_ready(coord.arrays)
-        del_s = time.perf_counter() - t0
-        out["delete_ms_per_row"] = round(del_s * 1e3 / n_deletes, 3)
+        # Two batches: the first pays the one-time XLA compiles of the
+        # repair/rescue/refresh programs (reported separately as the cold
+        # number); the second is the steady-state rate a production
+        # workload sees — the figure comparable to the paper's.
+        picks = rng.choice(n, 2 * n_deletes, replace=False)
+        times = []
+        for half in (picks[:n_deletes], picks[n_deletes:]):
+            t0 = time.perf_counter()
+            coord.delete(half.tolist())
+            # delete() dispatches repair/rescue asynchronously; the latency
+            # number must include the device work, not just host dispatch.
+            _sync(coord.arrays)
+            times.append(time.perf_counter() - t0)
+        out["delete_ms_per_row"] = round(times[1] * 1e3 / n_deletes, 3)
+        out["delete_cold_ms_per_row"] = round(times[0] * 1e3 / n_deletes, 3)
         out["delete_rows"] = n_deletes
 
     return out

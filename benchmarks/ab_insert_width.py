@@ -64,16 +64,20 @@ for insert_w in (1, 2, 4):
             return beam_search(
                 coord.arrays, qb, jnp.int32(coord.entry_slot),
                 params=coord.params, l_search=L, k=K, beam_width=serve_w,
+                assume_all_valid=True,  # fresh build, no tombstones
             )
 
+        def sync(o):  # hard host pull; block_until_ready can return early
+            return np.asarray(o.topk_dists[:1, :1])
+
         res = run_batch(q_dev[:B])
-        jax.block_until_ready(res)
+        sync(res)
         best = 0.0
         for _ in range(3):
             t1 = time.perf_counter()
             outs = [run_batch(q_dev[i * B : (i + 1) * B])
                     for i in range(NQ // B)]
-            jax.block_until_ready(outs)
+            sync(outs[-1])
             best = max(best, NQ / (time.perf_counter() - t1))
         ids = np.concatenate(
             [np.asarray(o.topk_slots) for o in outs])

@@ -753,6 +753,7 @@ def insert_batch(
     params: GraphParams,
     pad_to: int | None = None,
     all_valid: bool = False,
+    donate: bool = True,
 ) -> GraphArrays:
     """Insert a batch of nodes into the graph (functional device update).
     Caller owns slot allocation and capacity growth. Thin host shim over
@@ -792,8 +793,10 @@ def insert_batch(
     # target applied (visited sets are duplicate-free, so one round covers
     # all pairs).
     full = M == 1
+    step_fn = insert_step if donate else insert_step_nodonate
+    refresh_fn = refresh_edge_codes if donate else refresh_edge_codes_nodonate
     try:
-        arrays, refresh_t, refresh_f = insert_step(
+        arrays, refresh_t, refresh_f = step_fn(
             arrays,
             new_slots_d,
             new_vecs_d,
@@ -808,10 +811,10 @@ def insert_batch(
         # call donates arrays so the update chain is in-place).
         CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
         for off in range(0, refresh_t.shape[0], CH):
-            arrays = refresh_edge_codes(
+            arrays = refresh_fn(
                 arrays, refresh_t[off : off + CH], params=params
             )
-        arrays = refresh_edge_codes(arrays, refresh_f, params=params)
+        arrays = refresh_fn(arrays, refresh_f, params=params)
     except Exception as exc:
         # The chain donates its input buffers: once insert_step has run,
         # the caller's handle is dead, and a failure in a LATER step would
@@ -823,6 +826,29 @@ def insert_batch(
             exc.partial_arrays = arrays  # type: ignore[attr-defined]
         raise
     return arrays
+
+
+# --------------------------------------------------------------------- #
+# Non-donating twins (concurrent lock-free reads): while any ReadView is
+# live (db adapter reader gate), mutations must NOT reuse the old buffers
+# in place — a reader's dispatched search would read freed HBM. The twins
+# share the traced bodies via jit(fn.__wrapped__) minus donate_argnums;
+# cost = one extra transient copy of the touched arrays during the
+# mutation, paid only when reads actually overlap writes.
+
+delete_repair_round_nodonate = jax.jit(
+    delete_repair_round.__wrapped__, static_argnames=("params",)
+)
+rescue_orphans_round_nodonate = jax.jit(
+    rescue_orphans_round.__wrapped__, static_argnames=("params",)
+)
+insert_step_nodonate = jax.jit(
+    insert_step.__wrapped__,
+    static_argnames=("params", "full_visited", "recip_rounds", "all_valid"),
+)
+refresh_edge_codes_nodonate = jax.jit(
+    refresh_edge_codes.__wrapped__, static_argnames=("params",)
+)
 
 
 def _buffers_deleted(arrays: GraphArrays) -> bool:

@@ -24,7 +24,7 @@ the rowid<->slot map.
 from __future__ import annotations
 
 import time
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +43,27 @@ from .graph import (
 from .searcher import beam_search
 
 _MIN_CAPACITY = 1024
+
+
+class ReadView(NamedTuple):
+    """Immutable point-in-time handle set for lock-free reads.
+
+    The functional engine makes this nearly free: every mutation builds
+    NEW device arrays and (since the concurrent-reads work) a NEW
+    slot->rowid table, so a reader that captured these references sees a
+    consistent index state no matter what writers do afterwards — the
+    cheap analog of the reference's shared-lock readers
+    (hnsw_index.cpp:191,301-303). The one hazard is buffer DONATION
+    (mutations reuse HBM in place); the db adapter's reader gate disables
+    donation while any view is live (LmDiskannIndex._state_lock).
+    """
+
+    arrays: GraphArrays
+    entry_slot: int
+    seeds: np.ndarray  # i32[S]
+    slot_rowids: np.ndarray  # i64[capacity]
+    count: int
+    ever_tombstoned: bool
 
 
 class Coordinator:
@@ -83,6 +104,10 @@ class Coordinator:
         # recycles slots but zombie in-edges into freed slots can persist.
         self._ever_tombstoned: bool = False
         self.last_search_stats: SearchStats | None = None
+        # False while concurrent readers hold ReadViews of the current
+        # buffers (set by the db adapter's reader gate): mutations then run
+        # the non-donating kernel twins instead of reusing HBM in place.
+        self.donate_buffers: bool = True
         # Optional services injected by the db/store layers (the ctor
         # injection of Coordinator.hpp:46-48).
         self.shadow_service = None  # store.shadow.ShadowStorageService
@@ -222,6 +247,7 @@ class Coordinator:
                     # exactly once.
                     pad_to=self.max_insert_batch if self._pad_bulk else None,
                     all_valid=not self._ever_tombstoned,
+                    donate=self.donate_buffers,
                 )
                 # Host-call duration: ~compile time on first-seen shapes
                 # (XLA compiles synchronously at dispatch), ~dispatch cost
@@ -266,7 +292,10 @@ class Coordinator:
                 if r in self.allocator.rowid_to_slot:
                     self.allocator.free(r)
             raise
-        self._slot_rowids[slots] = np.asarray(rowids, np.int64)
+        # Copy-on-write: live ReadViews keep the pre-mutation table.
+        sr = self._slot_rowids.copy()
+        sr[slots] = np.asarray(rowids, np.int64)
+        self._slot_rowids = sr
         if self.shadow_service is not None:
             self.shadow_service.log_insert_batch(rowids, slots.tolist())
         self.dirty = True
@@ -296,6 +325,18 @@ class Coordinator:
     # ------------------------------------------------------------------ #
     # search (Coordinator::Search, Coordinator.cpp:63-102)
 
+    def capture_view(self, n_seeds: int = 1) -> ReadView:
+        """Capture an immutable read view (see ReadView). Callers that may
+        race writers must capture under the adapter's state lock."""
+        return ReadView(
+            arrays=self.arrays,
+            entry_slot=self.entry_slot,
+            seeds=self._seed_slots(n_seeds),
+            slot_rowids=self._slot_rowids,
+            count=self.count,
+            ever_tombstoned=self._ever_tombstoned,
+        )
+
     def search(
         self,
         queries: np.ndarray,
@@ -304,6 +345,7 @@ class Coordinator:
         beam_width: int = 1,
         n_seeds: int = 1,
         allowed_rowids: "np.ndarray | None" = None,
+        view: "ReadView | None" = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
@@ -318,28 +360,34 @@ class Coordinator:
                 f"{self.config.dimensions}"
             )
         B = queries.shape[0]
-        if self.count == 0 or self.entry_slot < 0:
+        # Everything below reads ONLY the captured view, never live self
+        # state: with a view captured under the adapter's state lock this
+        # search is safe against concurrent writers (lock-free reads).
+        L = max(l_search if l_search is not None else self.config.l_search, k)
+        if view is None:
+            view = self.capture_view(min(n_seeds, L))
+        if view.count == 0 or view.entry_slot < 0:
             return (
                 np.full((B, k), INVALID_ROW_ID, np.int64),
                 np.full((B, k), np.inf, np.float32),
             )
         # L_search = max(explicit param or config default, k)
         # (Coordinator.cpp:63-102 / Searcher::Search :256-272).
-        L = max(l_search if l_search is not None else self.config.l_search, k)
-        seeds = self._seed_slots(min(n_seeds, L))
+        seeds = view.seeds
+        capacity = view.arrays.capacity
         allowed = None
         if allowed_rowids is not None:
             # Slot-space predicate mask: slot allowed iff its rowid is in
             # the allowed set (vectorized over the slot->rowid table).
             allowed = jnp.asarray(
                 np.isin(
-                    self._slot_rowids[: self.capacity],
+                    view.slot_rowids[:capacity],
                     np.asarray(allowed_rowids, np.int64),
                 )
             )
         t0 = time.perf_counter()
         res = beam_search(
-            self.arrays,
+            view.arrays,
             jnp.asarray(queries),
             jnp.asarray(seeds),
             params=self.params,
@@ -347,7 +395,7 @@ class Coordinator:
             k=k,
             beam_width=beam_width,
             allowed=allowed,
-            assume_all_valid=not self._ever_tombstoned,
+            assume_all_valid=not view.ever_tombstoned,
         )
         slots = np.asarray(res.topk_slots)
         dists = np.asarray(res.topk_dists)
@@ -365,7 +413,7 @@ class Coordinator:
         )
         rowids = np.where(
             slots >= 0,
-            self._slot_rowids[np.maximum(slots, 0)],
+            view.slot_rowids[np.maximum(slots, 0)],
             INVALID_ROW_ID,
         )
         return rowids, dists
@@ -404,7 +452,13 @@ class Coordinator:
         # so a 1k-row delete costs one or two device dispatches, vs one per
         # deleted row in round 1 (the paper's per-row delete is ~45 ms,
         # Table IV; see bench.py delete_ms_per_row).
-        from .builder import delete_repair_round
+        from .builder import delete_repair_round, delete_repair_round_nodonate
+
+        repair_fn = (
+            delete_repair_round
+            if self.donate_buffers
+            else delete_repair_round_nodonate
+        )
 
         R = self.params.r
         nbr_rows = np.asarray(self.arrays.neighbors[jnp.asarray(del_slots)])
@@ -438,7 +492,7 @@ class Coordinator:
                 # One fused donated dispatch per round: gather current
                 # neighbors + mask deleted + RobustPrune + write, without
                 # ever duplicating the graph arrays in HBM.
-                self.arrays = delete_repair_round(
+                self.arrays = repair_fn(
                     self.arrays,
                     jnp.asarray(t_pad),
                     jnp.asarray(extra),
@@ -460,7 +514,23 @@ class Coordinator:
         # otherwise it is permanently unreachable (the reference inherits
         # this from libSQL's unlink-only delete, vectordiskann.c:1666-1686).
         if len(tgt):
-            from .builder import refresh_edge_codes, rescue_orphans_round
+            from .builder import (
+                refresh_edge_codes,
+                refresh_edge_codes_nodonate,
+                rescue_orphans_round,
+                rescue_orphans_round_nodonate,
+            )
+
+            rescue_fn = (
+                rescue_orphans_round
+                if self.donate_buffers
+                else rescue_orphans_round_nodonate
+            )
+            refresh_fn = (
+                refresh_edge_codes
+                if self.donate_buffers
+                else refresh_edge_codes_nodonate
+            )
 
             uniq, uidx = np.unique(tgt, return_index=True)
             upad = _pow2_at_least(len(uniq), 256)
@@ -468,20 +538,23 @@ class Coordinator:
             t_pad[: len(uniq)] = uniq
             sibs = np.full((upad, R), -1, np.int32)
             sibs[: len(uniq)] = nbr_rows[di[uidx]]
-            self.arrays, adopters = rescue_orphans_round(
+            self.arrays, adopters = rescue_fn(
                 self.arrays,
                 jnp.asarray(t_pad),
                 jnp.asarray(sibs),
                 del_dev,
                 params=self.params,
             )
-            self.arrays = refresh_edge_codes(
+            self.arrays = refresh_fn(
                 self.arrays, adopters, params=self.params
             )
 
         for r in present:
             self.allocator.free(r)
-        self._slot_rowids[del_slots] = INVALID_ROW_ID
+        # Copy-on-write: live ReadViews keep the pre-mutation table.
+        sr = self._slot_rowids.copy()
+        sr[del_slots] = INVALID_ROW_ID
+        self._slot_rowids = sr
         if self.shadow_service is not None:
             self.shadow_service.log_delete_batch(present)
 
@@ -582,7 +655,17 @@ class Coordinator:
         island member exposes its whole island to the next round's BFS, and
         force-eviction can strand a different node, so iterate to a
         fixpoint (bounded). Returns nodes relinked."""
-        from .builder import force_edge_lists, refresh_edge_codes
+        from .builder import (
+            force_edge_lists,
+            refresh_edge_codes,
+            refresh_edge_codes_nodonate,
+        )
+
+        refresh_fn = (
+            refresh_edge_codes
+            if self.donate_buffers
+            else refresh_edge_codes_nodonate
+        )
 
         if self.count < 2 or self.entry_slot < 0:
             self._needs_reachability_repair = False
@@ -658,7 +741,7 @@ class Coordinator:
                     jnp.where(a_dev >= 0, a_dev, self.capacity)
                 ].set(True, mode="drop"),
             )
-            self.arrays = refresh_edge_codes(
+            self.arrays = refresh_fn(
                 self.arrays, a_dev, params=self.params
             )
             self.dirty = True

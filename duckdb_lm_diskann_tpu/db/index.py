@@ -18,6 +18,7 @@ buffer drained across successive Scan() calls.
 from __future__ import annotations
 
 import shutil
+import contextlib
 import threading
 from pathlib import Path
 
@@ -118,14 +119,23 @@ class LmDiskannIndex:
             self.coordinator = Coordinator(config)
         if self.directory is not None:
             self.coordinator.shadow_service = ShadowStorageService(self.directory)
-        # IndexLock: the reference serializes BoundIndex methods under an
-        # exclusive lock (hnsw_index.cpp:191,415-431 StorageLock; IndexLock
-        # on BoundIndex). Engine state is functional, but the Coordinator's
-        # host-side bookkeeping (allocator maps, arrays handle swap) is
-        # not atomic — this lock makes DML/scan/persist thread-safe, which
-        # is what lets the auto-checkpoint daemon (db.database) run
-        # concurrently with foreground operations.
+        # Locking, upgraded past the reference's shared/exclusive
+        # StorageLock (hnsw_index.cpp:191,301-303,415-431):
+        #   _lock  — exclusive among WRITERS (DML/vacuum/persist/drop), the
+        #            IndexLock analog. Readers do NOT take it.
+        #   _state_lock — a tiny mutex guarding the (arrays handle, rowid
+        #            table, reader count) triple. Readers hold it only for
+        #            the microseconds of capturing a ReadView; writers hold
+        #            it across their host-side mutation call so the
+        #            view-capture is atomic vs the handle swap.
+        # Readers run the actual device search OUTSIDE both locks on their
+        # captured view (lock-free reads): the functional engine makes old
+        # versions stay valid, except for buffer donation — so writers
+        # donate only when _active_readers == 0 and otherwise run the
+        # non-donating kernel twins (Coordinator.donate_buffers).
         self._lock = threading.RLock()
+        self._state_lock = threading.Lock()
+        self._active_readers = 0
 
     @staticmethod
     def _check_reopen_options(parsed, persisted) -> None:
@@ -158,23 +168,32 @@ class LmDiskannIndex:
 
     # --- DML forwarding (BoundIndex hooks) ---
 
+    def _write(self, fn):
+        """Run one mutation with the reader-gated donation policy: donate
+        buffers only when no ReadView can be live (see __init__ locking
+        notes). Held for the HOST portion of the mutation only — device
+        work is async, so readers stall at most for dispatch time."""
+        with self._lock:
+            with self._state_lock:
+                self.coordinator.donate_buffers = self._active_readers == 0
+                try:
+                    return fn()
+                finally:
+                    self.coordinator.donate_buffers = True
+
     def append(self, rowids, vectors) -> None:
         """Append a chunk (LmDiskannIndex::Append, :350-376 — the reference
         loops row-by-row over Insert; here a batch goes down in one call)."""
-        with self._lock:
-            self.coordinator.insert(rowids, vectors)
+        self._write(lambda: self.coordinator.insert(rowids, vectors))
 
     def insert(self, rowids, vectors) -> None:
-        with self._lock:
-            self.coordinator.insert(rowids, vectors)
+        self._write(lambda: self.coordinator.insert(rowids, vectors))
 
     def delete(self, rowids) -> int:
-        with self._lock:
-            return self.coordinator.delete(rowids)
+        return self._write(lambda: self.coordinator.delete(rowids))
 
     def vacuum(self) -> int:
-        with self._lock:
-            return self.coordinator.vacuum()
+        return self._write(lambda: self.coordinator.vacuum())
 
     def commit_drop(self) -> None:
         """CommitDrop (:508-514 / Coordinator.cpp:319-351): drop all state
@@ -211,12 +230,13 @@ class LmDiskannIndex:
             L = self.settings.effective_l_search(
                 self.config.l_search, state.l_search
             )
-            with self._lock:
+            with self._reader() as view:
                 ids, dists = self.coordinator.search(
                     state.query[None, :],
                     state.k,
                     l_search=L,
                     allowed_rowids=state.allowed_rowids,
+                    view=view,
                 )
             keep = ids[0] >= 0
             state.row_ids = ids[0][keep]
@@ -225,19 +245,34 @@ class LmDiskannIndex:
         state.offset += len(chunk)
         return chunk
 
+    @contextlib.contextmanager
+    def _reader(self):
+        """Reader gate: capture a consistent ReadView under the state lock,
+        then run the search with NO lock held — concurrent readers never
+        serialize on each other's device work, and writers can proceed
+        (non-donating) while reads are in flight."""
+        with self._state_lock:
+            self._active_readers += 1
+            view = self.coordinator.capture_view()
+        try:
+            yield view
+        finally:
+            with self._state_lock:
+                self._active_readers -= 1
+
     def search(self, queries, k: int, l_search: int | None = None):
         """Batched search (the MultiScan analog, hnsw_index.cpp:336-378)."""
         L = self.settings.effective_l_search(self.config.l_search, l_search)
-        with self._lock:
+        with self._reader() as view:
             return self.coordinator.search(
-                np.atleast_2d(queries), k, l_search=L
+                np.atleast_2d(queries), k, l_search=L, view=view
             )
 
     def snapshot(self):
         """Read-only point-in-time view of the index — the transaction-
         snapshot visibility of the V2 MVCC design (Consolidated
         Proposal:82-96); see Coordinator.snapshot()."""
-        with self._lock:
+        with self._lock, self._state_lock:
             return self.coordinator.snapshot()
 
     # --- persistence (GetStorageInfo / checkpoint, :516-531) ---

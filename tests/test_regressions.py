@@ -102,7 +102,8 @@ def test_insert_rollback_clears_valid_and_defers_recycling(rng, monkeypatch):
     calls = {"n": 0}
 
     def failing_insert_batch(
-        arrays, slots, vecs, entry, params, pad_to=None, all_valid=False
+        arrays, slots, vecs, entry, params,
+        pad_to=None, all_valid=False, donate=True,
     ):
         # Store the vectors (marks valid) then die — the mid-insert crash.
         calls["n"] += 1
