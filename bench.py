@@ -83,6 +83,7 @@ def make_corpus(n, dims, seed=0xBE7C4, zdim=12):
 def run_config(
     *, n, dims, metric, edge_type, l_search, k, batch, n_queries,
     width, r=64, l_insert=128, seed=0xBE7C4, n_deletes=0,
+    corpus="manifold",
 ):
     import jax
     import jax.numpy as jnp
@@ -94,7 +95,14 @@ def run_config(
     from duckdb_lm_diskann_tpu.core.searcher import beam_search
     from duckdb_lm_diskann_tpu.ops.distance import all_pairs_distance
 
-    gen, rng = make_corpus(n, dims, seed)
+    if corpus == "hard":
+        # clustered + anisotropic + duplicate-heavy stressor
+        # (utils/corpora.py) — recall-vs-L must have room to move here
+        from duckdb_lm_diskann_tpu.utils.corpora import make_hard_corpus
+
+        gen, rng = make_hard_corpus(n, dims, seed)
+    else:
+        gen, rng = make_corpus(n, dims, seed)
     data = gen(n)
     qidx = rng.integers(0, n, n_queries)
     queries = data[qidx] + 0.01 * rng.standard_normal(
@@ -138,6 +146,8 @@ def run_config(
             l_search=L,
             k=k,
             beam_width=width,
+            # what Coordinator.search passes: fresh build, no tombstones
+            assume_all_valid=not coord._ever_tombstoned,
         )
 
     # Warmup + compile.
@@ -183,6 +193,7 @@ def run_config(
             return beam_search(
                 coord.arrays, qb, jnp.int32(coord.entry_slot),
                 params=fp, l_search=L, k=k, beam_width=width,
+                assume_all_valid=not coord._ever_tombstoned,
             )
 
         try:
@@ -284,6 +295,7 @@ def run_config(
             return beam_search(
                 coord.arrays, qb, jnp.int32(coord.entry_slot),
                 params=coord.params, l_search=_L, k=k, beam_width=width,
+                assume_all_valid=not coord._ever_tombstoned,
             )
 
         _sync(run_batch_s(q_dev[:batch]))
@@ -431,6 +443,17 @@ def main() -> None:
             l_search=100, k=10, batch=1024, n_queries=2048, width=width,
             seed=0xDEE9, n_deletes=0,
         )
+    n4 = int(os.environ.get("BENCH_N4", 100_000))
+    if n4:
+        # HARD corpus: Zipf-clustered + anisotropic + 5% duplicates — the
+        # stressor where recall-vs-L actually moves (see utils/corpora.py;
+        # the smooth manifold starts at ~0.99 recall even at L=50).
+        extra["hard_like"] = run_config(
+            n=n4, dims=dims, metric="l2", edge_type=edge,
+            l_search=l_search, k=10, batch=batch,
+            n_queries=min(n_queries, 2048), width=width,
+            seed=0x4A2D, n_deletes=0, corpus="hard",
+        )
 
     # Full report -> file; ONE COMPACT summary line -> stdout LAST. The
     # driver tail-captures stdout and parses the final line as JSON — round
@@ -468,6 +491,13 @@ def main() -> None:
         "sol_fraction": main_cfg.get("sol_fraction"),
         "gist_qps": (extra.get("gist_like") or {}).get("qps"),
         "deep_qps": (extra.get("deep_like") or {}).get("qps"),
+        "hard_recall_l50": next(
+            (p["recall"] for p in
+             (extra.get("hard_like") or {}).get("recall_vs_l", [])
+             if p["l"] == 50),
+            None,
+        ),
+        "hard_qps": (extra.get("hard_like") or {}).get("qps"),
     }
     print(json.dumps(compact))
 

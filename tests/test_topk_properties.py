@@ -98,3 +98,37 @@ def test_topk_by_distance_matches_numpy(data):
     got = list(zip(np.asarray(out_d[0]).tolist(), np.asarray(out_i[0]).tolist()))
     want = sorted(zip(d.tolist(), i.tolist()))[:5]
     assert got == want
+
+
+def test_hard_corpus_generator_properties():
+    """The stress generator (utils/corpora.py) must actually produce its
+    pathologies: Zipf cluster skew, anisotropic per-dim spread, exact
+    duplicates — and be deterministic per seed."""
+    import numpy as np
+
+    from duckdb_lm_diskann_tpu.utils.corpora import (
+        make_hard_corpus,
+        zipf_cluster_ids,
+    )
+
+    gen, _ = make_hard_corpus(10_000, 32, seed=7)
+    x = gen(10_000)
+    assert x.shape == (10_000, 32) and x.dtype == np.float32
+    # duplicates present (~5%)
+    _, counts = np.unique(x, axis=0, return_counts=True)
+    assert (counts > 1).sum() > 100
+    # anisotropy: per-dim stds spread over at least a decade WITHIN a
+    # cluster (globally the random per-cluster stretch directions wash
+    # out and the center variance dominates)
+    gen1, _ = make_hard_corpus(4_000, 32, seed=9, n_clusters=1,
+                               duplicate_fraction=0.0)
+    stds = gen1(4_000).std(axis=0)
+    assert stds.max() / stds.min() > 10
+    # determinism
+    gen2, _ = make_hard_corpus(10_000, 32, seed=7)
+    np.testing.assert_array_equal(gen2(10_000), x)
+    # cluster-mass skew: top cluster carries many times the median mass
+    rng = np.random.default_rng(0)
+    cid = zipf_cluster_ids(rng, 100_000, 256)
+    counts = np.bincount(cid, minlength=256)
+    assert counts.max() > 8 * max(np.median(counts), 1)
