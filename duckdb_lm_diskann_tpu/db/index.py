@@ -181,16 +181,36 @@ class LmDiskannIndex:
                 finally:
                     self.coordinator.donate_buffers = True
 
+    def _maybe_checkpoint_backlog(self) -> None:
+        """Bound the crash-replay backlog: checkpoint inline once the
+        un-merged delta log exceeds lm_diskann_checkpoint_pending_deltas
+        (recovery replays the log at the engine's bulk-insert rate, so the
+        bound converts directly into a recovery-time bound —
+        docs/DURABILITY.md)."""
+        limit = self.settings.get_option("lm_diskann_checkpoint_pending_deltas")
+        if (
+            not limit
+            or self.directory is None
+            or self.coordinator.shadow_service is None
+        ):
+            return
+        if self.coordinator.shadow_service.pending_count() >= limit:
+            self.persist_to_disk()
+
     def append(self, rowids, vectors) -> None:
         """Append a chunk (LmDiskannIndex::Append, :350-376 — the reference
         loops row-by-row over Insert; here a batch goes down in one call)."""
         self._write(lambda: self.coordinator.insert(rowids, vectors))
+        self._maybe_checkpoint_backlog()
 
     def insert(self, rowids, vectors) -> None:
         self._write(lambda: self.coordinator.insert(rowids, vectors))
+        self._maybe_checkpoint_backlog()
 
     def delete(self, rowids) -> int:
-        return self._write(lambda: self.coordinator.delete(rowids))
+        n = self._write(lambda: self.coordinator.delete(rowids))
+        self._maybe_checkpoint_backlog()
+        return n
 
     def vacuum(self) -> int:
         return self._write(lambda: self.coordinator.vacuum())

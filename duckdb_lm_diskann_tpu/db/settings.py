@@ -25,6 +25,11 @@ _DEFAULTS: dict[str, object] = {
     # reproduces the reference's pull-up-only behavior (fewer-than-k
     # results under selective filters, hnsw_optimize_scan.cpp:160-200).
     "lm_diskann_filter_pushdown": True,
+    # Crash-replay backlog bound: when a persisted index's un-merged delta
+    # log exceeds this many entries after a DML batch, a checkpoint is
+    # triggered inline (docs/DURABILITY.md derives the recovery-time bound
+    # this buys: backlog / bulk-insert-rate). 0 disables the trigger.
+    "lm_diskann_checkpoint_pending_deltas": 100_000,
 }
 
 

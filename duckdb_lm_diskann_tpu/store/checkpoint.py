@@ -395,16 +395,55 @@ def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:
     """Replay un-merged deltas after a crash (startup reconciliation,
     Proposal:426-429). ``primary`` is a PrimaryStorageService for re-reading
     vectors of rows whose blocks never reached graph.lmd. Returns the number
-    of deltas replayed; saves a clean checkpoint afterwards."""
+    of deltas replayed; saves a clean checkpoint afterwards.
+
+    The delta log is replayed in sequence order, but consecutive runs of
+    the SAME op are coalesced into one batched insert/delete: distinct-row
+    inserts commute within a run (and likewise deletes), so batching
+    preserves the log's semantics while replacing O(N) single-row device
+    dispatches with O(N / batch) ramped batched ones — the difference
+    between hours and seconds at a 100k-delta backlog (replay cost == the
+    engine's bulk-insert rate; see docs/DURABILITY.md for the bound and
+    the auto-checkpoint trigger that caps the backlog)."""
     pending = getattr(coord, "pending_deltas", [])
     replayed = 0
+    run_op: str | None = None
+    run_rows: list[int] = []
+    run_set: set[int] = set()
+
+    def flush():
+        nonlocal replayed, run_op
+        if not run_rows:
+            return
+        if run_op == "insert":
+            vecs = np.atleast_2d(
+                np.asarray(primary.get_vectors(run_rows), np.float32)
+            )
+            coord.insert(run_rows, vecs)
+        else:
+            coord.delete(run_rows)
+        replayed += len(run_rows)
+        run_rows.clear()
+        run_set.clear()
+
     for _seq, op, row_id, _block_id in pending:
-        if op == "insert" and row_id not in coord.allocator.rowid_to_slot:
-            coord.insert([row_id], np.atleast_2d(primary.get_vector(row_id)))
-            replayed += 1
-        elif op == "delete" and row_id in coord.allocator.rowid_to_slot:
-            coord.delete([row_id])
-            replayed += 1
+        in_run = run_op == op and row_id in run_set
+        queued_insert = run_op == "insert" and row_id in run_set
+        applied = row_id in coord.allocator.rowid_to_slot
+        if op == "insert":
+            # skip rows already applied (idempotent replay) or duplicated
+            # within the current run
+            if applied or in_run:
+                continue
+        else:  # delete: only meaningful if the row exists or is queued
+            if in_run or (not applied and not queued_insert):
+                continue
+        if op != run_op:
+            flush()  # applies any queued opposite-op rows first (ordering)
+            run_op = op
+        run_rows.append(row_id)
+        run_set.add(row_id)
+    flush()
     coord.needs_recovery = False
     coord.pending_deltas = []
     save_index(coord, directory)

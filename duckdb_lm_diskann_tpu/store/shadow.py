@@ -90,6 +90,13 @@ class ShadowStorageService:
         )
         return cur.fetchall()
 
+    def pending_count(self) -> int:
+        """Number of un-merged delta entries — the crash-replay backlog.
+        One indexed COUNT(*), cheap enough to poll after every DML batch
+        (the auto-checkpoint trigger in db/index.py does)."""
+        cur = self._conn.execute("SELECT COUNT(*) FROM __lmd_blocks")
+        return int(cur.fetchone()[0])
+
     # --- metadata (index_metadata block fields, index_config.hpp:195-210,
     #     StorageManager.cpp:104-117) ---
 

@@ -605,3 +605,81 @@ def test_torn_block_write_detected_as_corruption(tmp_path, rng):
     clean = checkpoint.load_index(d)
     ids, _ = clean.search(data[11:12], 1)
     assert int(np.asarray(ids).ravel()[0]) == 11
+
+
+def test_recovery_replays_large_backlog_in_batches(tmp_path, rng):
+    """Crash-replay of a big un-checkpointed delta backlog must be BATCHED
+    (one ramped bulk insert per run), not one device dispatch per row —
+    the difference between seconds and hours at a 100k backlog
+    (docs/DURABILITY.md). Correctness: interleaved insert/delete runs
+    replay in sequence order; duplicates are idempotent."""
+    cfg = make_config()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((600, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(100)), data[:100])
+    d = tmp_path / "idx"
+    checkpoint.save_index(coord, d)
+
+    s = ShadowStorageService(d)
+    s.log_insert_batch(list(range(100, 500)), list(range(100, 500)))
+    s.log_delete_batch([7, 9])
+    s.log_insert_batch([500, 501, 500], [500, 501, 500])  # dup entry
+    s.log_delete_batch([500])  # delete a row inserted earlier in the log
+    s.close()
+
+    loaded = checkpoint.load_index(d)
+    assert loaded.needs_recovery
+    primary = PrimaryStorageService.from_array(list(range(600)), data)
+
+    calls = {"insert": 0, "delete": 0}
+    orig_insert, orig_delete = loaded.insert, loaded.delete
+
+    def spy_insert(rowids, vectors):
+        calls["insert"] += 1
+        return orig_insert(rowids, vectors)
+
+    def spy_delete(rowids):
+        calls["delete"] += 1
+        return orig_delete(rowids)
+
+    loaded.insert, loaded.delete = spy_insert, spy_delete
+    replayed = checkpoint.recover(loaded, primary, d)
+    # 400 + 2 + 2 (dup collapsed) + 1
+    assert replayed == 405
+    # batched: one call per RUN of the log, not per row
+    assert calls["insert"] == 2
+    assert calls["delete"] == 2
+    assert 499 in loaded.allocator.rowid_to_slot
+    assert 501 in loaded.allocator.rowid_to_slot
+    assert 500 not in loaded.allocator.rowid_to_slot
+    assert 7 not in loaded.allocator.rowid_to_slot
+    clean = checkpoint.load_index(d)
+    assert not clean.needs_recovery
+    assert clean.count == 100 + 400 + 1 - 2
+
+
+def test_pending_delta_backlog_triggers_checkpoint(tmp_path, rng):
+    """The adapter bounds the crash-replay backlog: DML past the
+    lm_diskann_checkpoint_pending_deltas option checkpoints inline,
+    clearing the delta log."""
+    from duckdb_lm_diskann_tpu.db.database import connect
+
+    db = connect(str(tmp_path / "db"))
+    data = rng.standard_normal((32, 8)).astype(np.float32)
+    t = db.create_table("t", {"v": data})
+    db.create_index(
+        "idx", t, "v",
+        options={"metric": "l2", "r": 4, "l_insert": 8, "l_search": 16},
+    )
+    db.set_option("lm_diskann_checkpoint_pending_deltas", 10)
+    bidx = t.indexes["idx"].index
+    shadow = bidx.coordinator.shadow_service
+    t.insert({"v": rng.standard_normal((4, 8)).astype(np.float32)})
+    assert shadow.pending_count() <= 10  # below the bound: may accumulate
+    t.insert({"v": rng.standard_normal((12, 8)).astype(np.float32)})
+    # backlog crossed the bound -> checkpoint fired -> log cleared
+    assert shadow.pending_count() == 0
+    # and disabling the trigger lets the backlog grow
+    db.set_option("lm_diskann_checkpoint_pending_deltas", 0)
+    t.insert({"v": rng.standard_normal((12, 8)).astype(np.float32)})
+    assert shadow.pending_count() == 12
