@@ -40,7 +40,7 @@ from .graph import (
     grow_graph_arrays,
     make_graph_arrays,
 )
-from .searcher import beam_search
+from .searcher import beam_search, beam_search_many
 
 _MIN_CAPACITY = 1024
 
@@ -346,13 +346,21 @@ class Coordinator:
         n_seeds: int = 1,
         allowed_rowids: "np.ndarray | None" = None,
         view: "ReadView | None" = None,
+        batch_size: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
         the index holds fewer than k rows.
 
         ``allowed_rowids`` restricts RESULTS to those rows (filtered search:
-        traversal still routes through all nodes; see beam_search)."""
+        traversal still routes through all nodes; see beam_search).
+
+        ``batch_size``: when set and B > batch_size, queries run as
+        ceil(B/batch_size) device-side pipelined batches in ONE dispatch
+        (searcher.beam_search_many) — the throughput path; per-dispatch
+        host round-trips (~31 ms on the tunneled backend) are paid once
+        per call, not once per batch. Results are bit-identical to the
+        single-dispatch path."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.config.dimensions:
             raise ValueError(
@@ -386,24 +394,50 @@ class Coordinator:
                 )
             )
         t0 = time.perf_counter()
-        res = beam_search(
-            view.arrays,
-            jnp.asarray(queries),
-            jnp.asarray(seeds),
-            params=self.params,
-            l_search=L,
-            k=k,
-            beam_width=beam_width,
-            allowed=allowed,
-            assume_all_valid=not view.ever_tombstoned,
-        )
-        slots = np.asarray(res.topk_slots)
-        dists = np.asarray(res.topk_dists)
+        if batch_size is not None and B > batch_size:
+            # Pipelined multi-batch path: pad B to a multiple of batch_size
+            # (repeating the first query — results for pad lanes are
+            # computed and discarded) and scan batches inside one dispatch.
+            nb = -(-B // batch_size)
+            padded = np.broadcast_to(
+                queries[:1], (nb * batch_size, queries.shape[1])
+            ).copy()
+            padded[:B] = queries
+            mres = beam_search_many(
+                view.arrays,
+                jnp.asarray(padded).reshape(nb, batch_size, -1),
+                jnp.asarray(seeds),
+                params=self.params,
+                l_search=L,
+                k=k,
+                beam_width=beam_width,
+                allowed=allowed,
+                assume_all_valid=not view.ever_tombstoned,
+            )
+            slots = np.asarray(mres.topk_slots).reshape(-1, k)[:B]
+            dists = np.asarray(mres.topk_dists).reshape(-1, k)[:B]
+            visited = int(np.asarray(mres.visited_count).reshape(-1)[:B].sum())
+            hops = int(np.asarray(mres.hops).sum())
+        else:
+            res = beam_search(
+                view.arrays,
+                jnp.asarray(queries),
+                jnp.asarray(seeds),
+                params=self.params,
+                l_search=L,
+                k=k,
+                beam_width=beam_width,
+                allowed=allowed,
+                assume_all_valid=not view.ever_tombstoned,
+            )
+            slots = np.asarray(res.topk_slots)
+            dists = np.asarray(res.topk_dists)
+            visited = int(np.asarray(res.visited_count).sum())
+            hops = int(res.hops)
         wall = time.perf_counter() - t0  # after device sync (np.asarray)
-        visited = int(np.asarray(res.visited_count).sum())
         self.last_search_stats = SearchStats(
             queries=B,
-            hops=int(res.hops),
+            hops=hops,
             nodes_visited=visited,
             l_search=L,
             k=k,

@@ -472,6 +472,67 @@ def beam_search(
     )
 
 
+class ManySearchResult(NamedTuple):
+    topk_slots: jnp.ndarray  # i32[NB, B, K]
+    topk_dists: jnp.ndarray  # f32[NB, B, K]
+    visited_count: jnp.ndarray  # i32[NB, B]
+    hops: jnp.ndarray  # i32[NB]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "l_search", "k", "max_visits", "beam_width",
+        "assume_all_valid",
+    ),
+)
+def beam_search_many(
+    arrays: GraphArrays,
+    queries: jnp.ndarray,  # f32[NB, B, D] — NB batches of B queries
+    entry_slot: jnp.ndarray,
+    *,
+    params: GraphParams,
+    l_search: int,
+    k: int,
+    max_visits: int = 0,
+    beam_width: int = 1,
+    allowed: jnp.ndarray | None = None,
+    assume_all_valid: bool = False,
+) -> ManySearchResult:
+    """Pipelined serving: ``lax.scan`` of :func:`beam_search` over NB query
+    batches inside ONE dispatch.
+
+    A batched engine's throughput path should not pay a host round-trip per
+    batch: the reference's join operator batches all RHS queries through one
+    ExecuteMultiScan call (hnsw_optimize_join.cpp:137-152) for the same
+    reason. On this environment's tunneled TPU backend a single
+    dispatch+sync costs ~31 ms — comparable to an entire B=1024 batch's
+    device time at 1M rows — so scanning batches device-side roughly
+    doubles measured serving throughput. Results are bit-identical to NB
+    separate :func:`beam_search` calls (the scan body IS beam_search); only
+    the per-batch visited logs are dropped from the return value to keep
+    the output O(NB*B*k) instead of O(NB*B*max_visits)."""
+    def step(carry, qb):
+        res = beam_search(
+            arrays,
+            qb,
+            entry_slot,
+            params=params,
+            l_search=l_search,
+            k=k,
+            max_visits=max_visits,
+            beam_width=beam_width,
+            allowed=allowed,
+            assume_all_valid=assume_all_valid,
+        )
+        return carry, (
+            res.topk_slots, res.topk_dists, res.visited_count, res.hops
+        )
+
+    _, outs = jax.lax.scan(step, 0, queries)
+    return ManySearchResult(*outs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "l_insert", "beam_width", "assume_all_valid"),

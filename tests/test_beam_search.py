@@ -229,3 +229,55 @@ def test_beam_width_no_duplicate_results(rng, width):
         cnt = int(res.visited_count[b])
         vis = np.asarray(res.visited_slots[b])[:cnt].tolist()
         assert len(vis) == len(set(vis)), f"duplicate visits: {vis}"
+
+
+def test_beam_search_many_bit_identical(rng):
+    """The pipelined multi-batch scan (beam_search_many) must return
+    bit-identical top-k to NB separate beam_search dispatches, and
+    Coordinator.search(batch_size=...) must match the unbatched path."""
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search_many
+
+    n, dims, k = 300, 16, 10
+    params = make_params(MetricType.L2, EdgeType.INT8, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.L2, EdgeType.INT8,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+    queries = rng.standard_normal((4, 8, dims)).astype(np.float32)  # NB=4,B=8
+
+    many = beam_search_many(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=32, k=k,
+    )
+    for nb in range(4):
+        one = beam_search(
+            arrays, jnp.asarray(queries[nb]), jnp.int32(oracle.entry_point),
+            params=params, l_search=32, k=k,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(many.topk_slots[nb]), np.asarray(one.topk_slots)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(many.topk_dists[nb]), np.asarray(one.topk_dists)
+        )
+        assert int(many.hops[nb]) == int(one.hops)
+
+    # Coordinator path: batch_size splits (with padding) must be invisible.
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.common.types import VectorType
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    coord.bulk_build(list(range(n)), data, max_batch=64)
+    q2 = rng.standard_normal((21, dims)).astype(np.float32)  # 21 % 8 != 0
+    ids_a, d_a = coord.search(q2, k)
+    ids_b, d_b = coord.search(q2, k, batch_size=8)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_array_equal(d_a, d_b)
