@@ -221,6 +221,36 @@ def delete_repair_round(
     return write_neighbor_rows(arrays, tgt_slots, sel, params=params)
 
 
+def inlink_histogram(neighbors, valid, cap: int) -> jnp.ndarray:
+    """Global in-link histogram: hist[s] = number of edges into slot s from
+    valid source rows (hist has cap+1 bins; the last is the -1 sentinel
+    dump). Two implementations behind one call:
+
+      - plain arrays: one scatter-add over the flattened neighbor table;
+      - row-sharded arrays (parallel.global_graph.PsumRows, duck-typed via
+        ``.local``): each shard histograms its LOCAL rows — edge targets
+        are global slot ids already — and a ``psum`` over the mesh axis
+        reassembles the exact global histogram. This is the one op that
+        blocked DELETE on distributed-built global graphs (the whole-table
+        scan below is meaningless on a 1/S-per-device layout).
+    """
+    local_n = getattr(neighbors, "local", None)
+    if local_n is not None:
+        flat = local_n.reshape(-1)
+        src_ok = jnp.repeat(valid.local, local_n.shape[1])
+        cnt = jnp.where(src_ok & (flat >= 0), 1, 0).astype(jnp.int32)
+        hist = jnp.zeros((cap + 1,), jnp.int32).at[
+            jnp.where(flat >= 0, flat, cap)
+        ].add(cnt)
+        return jax.lax.psum(hist, neighbors.axis)
+    flat = neighbors.reshape(-1)
+    src_ok = jnp.repeat(valid, neighbors.shape[1])
+    cnt = jnp.where(src_ok & (flat >= 0), 1, 0).astype(jnp.int32)
+    return jnp.zeros((cap + 1,), jnp.int32).at[
+        jnp.where(flat >= 0, flat, cap)
+    ].add(cnt)
+
+
 @functools.partial(
     jax.jit, static_argnames=("params",), donate_argnums=(0,)
 )
@@ -252,12 +282,7 @@ def rescue_orphans_round(
 
     # Global in-link histogram (valid sources only; deleted rows are
     # already tombstoned valid=False by the caller).
-    flat = arrays.neighbors.reshape(-1)
-    src_ok = jnp.repeat(arrays.valid, arrays.neighbors.shape[1])
-    cnt = jnp.where(src_ok & (flat >= 0), 1, 0).astype(jnp.int32)
-    hist = jnp.zeros((cap + 1,), jnp.int32).at[
-        jnp.where(flat >= 0, flat, cap)
-    ].add(cnt)
+    hist = inlink_histogram(arrays.neighbors, arrays.valid, cap)
 
     t_ok = (tgt_slots >= 0) & arrays.valid[jnp.maximum(tgt_slots, 0)]
     orphan = t_ok & (hist[jnp.clip(tgt_slots, 0, cap)] == 0)

@@ -463,7 +463,16 @@ class Coordinator:
         missing rowids are skipped silently (vectordiskann.c:1646-1650)."""
         self._check_mutable()
         rowids = [int(r) for r in rowids]
-        present = [r for r in rowids if r in self.allocator.rowid_to_slot]
+        # Dedup preserving order: a rowid listed twice in one batch is one
+        # delete (the second occurrence is a skip like any missing row —
+        # without this, the second free() pops an unmapped rowid).
+        seen: set[int] = set()
+        present = [
+            r
+            for r in rowids
+            if r in self.allocator.rowid_to_slot
+            and not (r in seen or seen.add(r))
+        ]
         if not present:
             return 0
         del_slots = np.asarray(

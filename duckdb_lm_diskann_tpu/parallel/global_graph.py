@@ -45,8 +45,11 @@ from ..core.builder import (
     _pair_chunk,
     _pow2_at_least,
     _RECIP_ROUNDS,
+    delete_repair_round,
+    force_edge_lists,
     insert_step,
     refresh_edge_codes,
+    rescue_orphans_round,
     store_vectors,
 )
 from ..core.coordinator import Coordinator
@@ -334,6 +337,171 @@ def _global_insert_step(
     return fn(stacked, new_slots, new_vecs, entry_slot)
 
 
+# --------------------------------------------------------------------- #
+# Sharded twins of the DELETE-path device programs (VERDICT r3 item 4).
+# Each runs the UNCHANGED single-graph program (core/builder) replicated
+# inside shard_map with every row access routed through PsumRows — the same
+# construction as _global_insert_step. The one op that needed a true
+# distributed re-derivation, the global in-link histogram, lives in
+# builder.inlink_histogram (local histograms + psum).
+
+_SPEC = P(DATA_AXIS)
+_REP = P()
+
+
+def _wrap(arrays: GraphArrays) -> GraphArrays:
+    return GraphArrays(*(PsumRows(a[0]) for a in arrays))
+
+
+def _unwrap(arrays: GraphArrays) -> GraphArrays:
+    return GraphArrays(*(a.local[None] for a in arrays))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "field"))
+def _g_gather_rows(stacked: GraphArrays, idx, *, mesh, field: str):
+    """Replicated gather of whole rows of one stacked field by GLOBAL slot
+    (owner contributes, psum reassembles)."""
+
+    def shard_fn(arrays, idx):
+        return getattr(_wrap(arrays), field)[idx]
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP),
+        out_specs=_REP,
+        check_vma=False,
+    )
+    return fn(stacked, idx)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh",), donate_argnums=(0,)
+)
+def _g_tombstone(stacked: GraphArrays, del_idx, *, mesh) -> GraphArrays:
+    """valid=False + dirty=True on the deleted slots, owner-applied."""
+
+    def shard_fn(arrays, del_idx):
+        local = _wrap(arrays)
+        out = local._replace(
+            valid=local.valid.at[del_idx].set(False),
+            dirty_rows=local.dirty_rows.at[del_idx].set(True),
+        )
+        return _unwrap(out)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP),
+        out_specs=jax.tree.map(lambda _: _SPEC, stacked),
+        check_vma=False,
+    )
+    return fn(stacked, del_idx)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "params"), donate_argnums=(0,)
+)
+def _g_delete_repair_round(
+    stacked: GraphArrays, tgt, extra, dels, *, mesh, params: GraphParams
+) -> GraphArrays:
+    p = dataclasses.replace(params, pallas="0")
+
+    def shard_fn(arrays, tgt, extra, dels):
+        out = delete_repair_round.__wrapped__(
+            _wrap(arrays), tgt, extra, dels, params=p
+        )
+        return _unwrap(out)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP, _REP, _REP),
+        out_specs=jax.tree.map(lambda _: _SPEC, stacked),
+        check_vma=False,
+    )
+    return fn(stacked, tgt, extra, dels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "params"), donate_argnums=(0,)
+)
+def _g_rescue_round(
+    stacked: GraphArrays, tgt, sibs, dels, *, mesh, params: GraphParams
+):
+    p = dataclasses.replace(params, pallas="0")
+
+    def shard_fn(arrays, tgt, sibs, dels):
+        out, adopters = rescue_orphans_round.__wrapped__(
+            _wrap(arrays), tgt, sibs, dels, params=p
+        )
+        return _unwrap(out), adopters
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP, _REP, _REP),
+        out_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP),
+        check_vma=False,
+    )
+    return fn(stacked, tgt, sibs, dels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "params"), donate_argnums=(0,)
+)
+def _g_refresh(
+    stacked: GraphArrays, tgts, *, mesh, params: GraphParams
+) -> GraphArrays:
+    p = dataclasses.replace(params, pallas="0")
+
+    def shard_fn(arrays, tgts):
+        return _unwrap(
+            refresh_edge_codes.__wrapped__(_wrap(arrays), tgts, params=p)
+        )
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP),
+        out_specs=jax.tree.map(lambda _: _SPEC, stacked),
+        check_vma=False,
+    )
+    return fn(stacked, tgts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "params"), donate_argnums=(0,)
+)
+def _g_force_links(
+    stacked: GraphArrays, adopters, orphans, *, mesh, params: GraphParams
+) -> GraphArrays:
+    """force_edge_lists + dirty marking over the sharded tables (the
+    repair_reachability write step)."""
+    p = dataclasses.replace(params, pallas="0")
+
+    def shard_fn(arrays, adopters, orphans):
+        local = _wrap(arrays)
+        nbrs = force_edge_lists(
+            local.vectors, local.neighbors, adopters,
+            jnp.where(adopters >= 0, orphans, -1), p,
+        )
+        cap = local.capacity
+        dirty = local.dirty_rows.at[
+            jnp.where(adopters >= 0, adopters, cap)
+        ].set(True, mode="drop")
+        return _unwrap(local._replace(neighbors=nbrs, dirty_rows=dirty))
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP, _REP),
+        out_specs=jax.tree.map(lambda _: _SPEC, stacked),
+        check_vma=False,
+    )
+    return fn(stacked, adopters, orphans)
+
+
 @jax.jit
 def _medoid_stacked(vectors, valid):
     """Medoid over row-sharded [S, C/S, D] vectors (GSPMD inserts the
@@ -370,6 +538,7 @@ class GlobalShardedIndex:
         # full arrays have never existed on any one device/process, and all
         # further DML must stay on the sharded path.
         self._distributed = False
+        self._needs_repair = False
 
     # DML delegates to the single-graph Coordinator — except after a
     # distributed build, where the replicated Coordinator arrays were never
@@ -383,17 +552,218 @@ class GlobalShardedIndex:
 
     def delete(self, rowids) -> int:
         if self._distributed:
-            raise NotImplementedError(
-                "DELETE on a distributed-built global index is not wired "
-                "yet: the repair/rescue programs scan whole tables "
-                "(rescue_orphans_round's in-link histogram), which PsumRows "
-                "does not reassemble. Rebuild, or use the replicated "
-                "GlobalShardedIndex/ShardedIndex modes for delete-heavy "
-                "workloads."
-            )
+            return self._delete_distributed(rowids)
         n = self.coordinator.delete(rowids)
         self._stacked = None
         return n
+
+    def _delete_distributed(self, rowids) -> int:
+        """DELETE over row-sharded arrays: statement-for-statement mirror of
+        Coordinator.delete (back-edge unlink + batched repair rounds +
+        tombstone + orphan rescue + entry fallback), with every device
+        program routed through its sharded twin and the global in-link
+        histogram computed as local histograms + psum
+        (builder.inlink_histogram). Graph results are identical to the
+        single-chip delete: gathers are exact (x + 0), writes land once on
+        their owner, and all arithmetic runs at the same shapes in the same
+        order."""
+        coord = self.coordinator
+        rowids = [int(r) for r in rowids]
+        seen: set[int] = set()
+        present = [
+            r
+            for r in rowids
+            if r in coord.allocator.rowid_to_slot
+            and not (r in seen or seen.add(r))
+        ]
+        if not present:
+            return 0
+        del_slots = np.asarray(
+            [coord.allocator.rowid_to_slot[r] for r in present], np.int32
+        )
+        del_set = set(int(s) for s in del_slots)
+        params = coord.params
+        R = params.r
+
+        nbr_rows = np.asarray(
+            _g_gather_rows(
+                self._stacked, jnp.asarray(del_slots), mesh=self.mesh,
+                field="neighbors",
+            )
+        )
+        Dn = len(del_slots)
+        tgt = nbr_rows.ravel()
+        di = np.repeat(np.arange(Dn, dtype=np.int32), R)
+        keep_pair = (tgt >= 0) & ~np.isin(tgt, del_slots)
+        tgt, di = tgt[keep_pair], di[keep_pair]
+        if len(tgt):
+            dpad = _pow2_at_least(Dn, 256)
+            del_pad = np.full(dpad, -1, np.int32)
+            del_pad[:Dn] = del_slots
+            del_dev = jnp.asarray(del_pad)
+            order = np.lexsort((di, tgt))
+            tgt, di = tgt[order], di[order]
+            first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
+            starts = np.maximum.accumulate(
+                np.where(first, np.arange(len(tgt)), 0)
+            )
+            ranks = np.arange(len(tgt)) - starts
+            for r in range(int(ranks.max()) + 1):
+                m = ranks == r
+                t_r, d_r = tgt[m], di[m]
+                u = len(t_r)
+                pad = _pow2_at_least(u, 256)
+                t_pad = np.full(pad, -1, np.int32)
+                t_pad[:u] = t_r
+                extra = np.full((pad, R), -1, np.int32)
+                extra[:u] = nbr_rows[d_r]
+                self._stacked = _g_delete_repair_round(
+                    self._stacked, jnp.asarray(t_pad), jnp.asarray(extra),
+                    del_dev, mesh=self.mesh, params=params,
+                )
+
+        coord._ever_tombstoned = True
+        self._stacked = _g_tombstone(
+            self._stacked, jnp.asarray(del_slots), mesh=self.mesh
+        )
+
+        if len(tgt):
+            uniq, uidx = np.unique(tgt, return_index=True)
+            upad = _pow2_at_least(len(uniq), 256)
+            t_pad = np.full(upad, -1, np.int32)
+            t_pad[: len(uniq)] = uniq
+            sibs = np.full((upad, R), -1, np.int32)
+            sibs[: len(uniq)] = nbr_rows[di[uidx]]
+            self._stacked, adopters = _g_rescue_round(
+                self._stacked, jnp.asarray(t_pad), jnp.asarray(sibs),
+                del_dev, mesh=self.mesh, params=params,
+            )
+            self._stacked = _g_refresh(
+                self._stacked, adopters, mesh=self.mesh, params=params
+            )
+
+        for r in present:
+            coord.allocator.free(r)
+        sr = coord._slot_rowids.copy()
+        sr[del_slots] = INVALID_ROW_ID
+        coord._slot_rowids = sr
+        if coord.shadow_service is not None:
+            coord.shadow_service.log_delete_batch(present)
+
+        if coord.entry_slot in del_set:
+            coord.entry_slot, coord.entry_rowid = (
+                self._select_fallback_entry_distributed()
+            )
+        coord.dirty = True
+        self._needs_repair = True
+        return len(present)
+
+    def _host_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """(neighbors [C, R], valid [C]) pulled to HOST from the sharded
+        arrays — used by the rare host-side passes (entry fallback, the
+        reachability BFS). Host RAM holds the full tables comfortably at
+        any single-machine scale; per-DEVICE HBM stays 1/S."""
+        nbrs = np.asarray(self._stacked.neighbors)
+        valid = np.asarray(self._stacked.valid)
+        return nbrs.reshape(-1, nbrs.shape[-1]), valid.reshape(-1)
+
+    def _select_fallback_entry_distributed(self) -> tuple[int, int]:
+        """Coordinator._select_fallback_entry over the sharded arrays."""
+        coord = self.coordinator
+        if not coord.allocator.slot_to_rowid:
+            return -1, INVALID_ROW_ID
+        nbrs_h, valid_h = self._host_tables()
+        live = np.asarray(sorted(coord.allocator.slot_to_rowid), np.int32)
+        nbrs = nbrs_h[live]
+        degree = ((nbrs >= 0) & valid_h[np.maximum(nbrs, 0)]).sum(axis=1)
+        slot = int(live[int(np.argmax(degree))])
+        return slot, coord.allocator.slot_to_rowid[slot]
+
+    def vacuum(self) -> int:
+        """PerformVacuum for the distributed mode: recycle tombstoned slots
+        + reachability repair (Coordinator.vacuum semantics)."""
+        if not self._distributed:
+            n = self.coordinator.vacuum()
+            self._stacked = None
+            return n
+        coord = self.coordinator
+        recycled = coord.allocator.process_deletion_queue()
+        coord.dirty = coord.dirty or bool(recycled)
+        if getattr(self, "_needs_repair", False):
+            self.repair_reachability()
+        return len(recycled)
+
+    def repair_reachability(self, max_rounds: int = 8) -> int:
+        """Coordinator.repair_reachability over the sharded arrays: host BFS
+        on pulled tables, orphan nearest-reachable search through the
+        sharded program, force-link + refresh through the sharded twins."""
+        coord = self.coordinator
+        params = coord.params
+        if coord.count < 2 or coord.entry_slot < 0:
+            self._needs_repair = False
+            return 0
+        total = 0
+        for _ in range(max_rounds):
+            nbrs_h, valid_h = self._host_tables()
+            cap = len(valid_h)
+            reach = np.zeros(cap, bool)
+            frontier = np.asarray([coord.entry_slot])
+            reach[frontier] = True
+            while len(frontier):
+                nxt = nbrs_h[frontier].ravel()
+                nxt = nxt[nxt >= 0]
+                nxt = nxt[valid_h[nxt] & ~reach[nxt]]
+                nxt = np.unique(nxt)
+                reach[nxt] = True
+                frontier = nxt
+            orphans = np.nonzero(valid_h & ~reach)[0].astype(np.int32)
+            if len(orphans) == 0:
+                break
+            pad = _pow2_at_least(len(orphans), 64)
+            o_pad = np.full(pad, -1, np.int32)
+            o_pad[: len(orphans)] = orphans
+            o_dev = jnp.asarray(o_pad)
+            q = _g_gather_rows(
+                self._stacked, jnp.maximum(o_dev, 0), mesh=self.mesh,
+                field="vectors",
+            ).astype(jnp.float32)
+            tk, _ = global_sharded_search(
+                self._stacked, q, jnp.int32(coord.entry_slot),
+                mesh=self.mesh, params=params,
+                l_search=max(16, params.r), k=4,
+            )
+            tk = np.asarray(tk)
+            has_free = (nbrs_h < 0).any(axis=1)
+            adopters = np.full(pad, -1, np.int32)
+            seen: set[int] = set()
+            for prefer_free in (True, False):
+                for i in range(len(orphans)):
+                    if adopters[i] >= 0:
+                        continue
+                    for s in tk[i]:
+                        if (
+                            s >= 0
+                            and s != orphans[i]
+                            and int(s) not in seen
+                            and (not prefer_free or has_free[s])
+                        ):
+                            adopters[i] = s
+                            seen.add(int(s))
+                            break
+            n_adopted = int((adopters >= 0).sum())
+            if n_adopted == 0:
+                break
+            total += n_adopted
+            a_dev = jnp.asarray(adopters)
+            self._stacked = _g_force_links(
+                self._stacked, a_dev, o_dev, mesh=self.mesh, params=params
+            )
+            self._stacked = _g_refresh(
+                self._stacked, a_dev, mesh=self.mesh, params=params
+            )
+            coord.dirty = True
+        self._needs_repair = False
+        return total
 
     # ------------------------------------------------------------------ #
     # device-scaled build: graph memory 1/S per device at BUILD time too
@@ -587,6 +957,61 @@ class GlobalShardedIndex:
         self._stacked = stacked
         return stacked
 
+    # ------------------------------------------------------------------ #
+    # persistence (VERDICT r3 item 3: the durability story must survive
+    # indexes bigger than one chip)
+
+    def save(self, directory, chunk_bytes: int = 64 << 20) -> dict:
+        """Checkpoint the global index into a standard index directory —
+        the SAME on-disk format as the single-chip engine
+        (store/checkpoint.save_index: graph.lmd blocks + shadow commit), so
+        a global-sharded checkpoint can be re-opened single-chip and vice
+        versa (block_id == global slot; the row partition is derivable as
+        slot // (C/S)).
+
+        Replicated mode: the Coordinator holds the full arrays — delegate.
+        Distributed-built mode: each shard's rows are pulled to HOST shard
+        by shard (per-device HBM never holds more than its own 1/S; host
+        RAM streams the encode in chunk_bytes pieces) and written through
+        the unchanged block codec via a host-materialized facade. Multi-
+        process meshes are rejected for now — each process can only
+        address its local shards; per-host parallel block writing over a
+        shared filesystem is the designed extension (docs/SCALING.md).
+        Reference: hnsw_index.cpp:502-546; Consolidated Proposal:188-211.
+        """
+        from ..store.checkpoint import save_index
+
+        if not self._distributed:
+            return save_index(self.coordinator, directory, chunk_bytes)
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "multi-process checkpoint of a distributed-built index is "
+                "not wired: each process addresses only its own shards"
+            )
+        coord = self.coordinator
+        stacked = self._stacked
+        def pull_host(f):
+            # explicit first dim: -1 can't be inferred on zero-size
+            # edge-cache placeholders ([S, C/S, 0, 0])
+            a = np.asarray(f)
+            return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+
+        host = GraphArrays(*(pull_host(f) for f in stacked))
+        saved = coord.arrays
+        coord.arrays = host  # numpy-backed facade; save_index pulls by slice
+        try:
+            info = save_index(coord, directory, chunk_bytes)
+        finally:
+            coord.arrays = saved
+        # Clear the device-side dirty flags the facade save consumed.
+        sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._stacked = stacked._replace(
+            dirty_rows=jax.device_put(
+                np.zeros(stacked.dirty_rows.shape, bool), sharding
+            )
+        )
+        return info
+
     def search(
         self,
         queries: np.ndarray,
@@ -624,3 +1049,65 @@ class GlobalShardedIndex:
             INVALID_ROW_ID,
         )
         return rowids, np.asarray(dists)
+
+
+def load_global_sharded(
+    directory, mesh=None, verify_checksums: bool = True
+) -> GlobalShardedIndex:
+    """Load a checkpoint directly into row-sharded arrays: the full graph
+    never materializes on any one DEVICE (host RAM stages the decode; each
+    device receives only its own C/S rows via per-shard device_put) — the
+    load-side dual of distributed_build. The directory format is the
+    standard single-chip one, so any index saved by save_index or
+    GlobalShardedIndex.save opens here."""
+    from ..store.checkpoint import (
+        _host_graph_arrays,
+        _load_host_state,
+        _restore_coordinator_meta,
+    )
+    from .mesh import make_mesh as _make_mesh
+
+    st = _load_host_state(directory, verify_checksums)
+    config = st["config"]
+    mesh = mesh if mesh is not None else _make_mesh()
+    S = int(mesh.devices.size)
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "multi-process load of a distributed index is not wired: each "
+            "process addresses only its own shards"
+        )
+
+    # Replicated Coordinator stays at minimum capacity (no graph arrays on
+    # one device); allocator/rowid state is fully restored.
+    coord = Coordinator(config)
+    cap = _pow2_at_least(max(st["hw"], 1024))
+    if cap % S:
+        cap = ((cap // S) + 1) * S
+    _restore_coordinator_meta(coord, st, cap)
+
+    host = _host_graph_arrays(coord.params, cap, st)
+    gidx = GlobalShardedIndex(coord, mesh=mesh)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    mesh_devs = list(mesh.devices.flat)
+
+    def put(a):
+        rows = _stack_rows(a, S)
+        local = [
+            jax.device_put(rows[g][None], d) for g, d in enumerate(mesh_devs)
+        ]
+        return jax.make_array_from_single_device_arrays(
+            rows.shape, sharding, local
+        )
+
+    gidx._stacked = GraphArrays(*(put(a) for a in host))
+    gidx._distributed = True
+
+    entry_rowid = st["entry_rowid"]
+    if entry_rowid in st["lookup"]:
+        coord.entry_slot = st["lookup"][entry_rowid]
+        coord.entry_rowid = entry_rowid
+    elif st["lookup"]:
+        coord.entry_slot, coord.entry_rowid = (
+            gidx._select_fallback_entry_distributed()
+        )
+    return gidx

@@ -35,7 +35,7 @@ import numpy as np
 from ..common.types import EdgeType, INVALID_ROW_ID, MetricType, VectorType
 from ..core.config import LmDiskannConfig
 from ..core.coordinator import Coordinator
-from ..core.graph import make_graph_arrays
+from ..core.graph import GraphArrays, make_graph_arrays
 from ..ops.quantize import i4_packed_from_planar_np, i4_planar_from_packed_np
 from .block_codec import decode_blocks, encode_blocks, resolve_layout
 from .file_service import open_block_file
@@ -138,7 +138,14 @@ def save_index(
                 def pull(a):
                     return np.asarray(a[lo:hi])
             else:
-                sel_d = jnp.asarray(sel, jnp.int32)
+                # coord.arrays may be numpy-backed (the distributed save
+                # path hands a host-materialized facade); index with the
+                # matching array kind.
+                sel_d = (
+                    sel
+                    if isinstance(arrays.vectors, np.ndarray)
+                    else jnp.asarray(sel, jnp.int32)
+                )
 
                 def pull(a):
                     return np.asarray(a[sel_d])
@@ -230,9 +237,12 @@ def save_index(
             incremental=incremental,
         )
         bf.mark_dirty(False)
-        coord.arrays = arrays._replace(
-            dirty_rows=jnp.zeros_like(arrays.dirty_rows)
+        zeros_like = (
+            np.zeros_like
+            if isinstance(arrays.dirty_rows, np.ndarray)
+            else jnp.zeros_like
         )
+        coord.arrays = arrays._replace(dirty_rows=zeros_like(arrays.dirty_rows))
         coord.dirty = False
         return {
             "blocks_written": int(len(idx)),
@@ -244,10 +254,14 @@ def save_index(
         shadow.close()
 
 
-def load_index(
+def _load_host_state(
     directory: str | os.PathLike, verify_checksums: bool = True
-) -> Coordinator:
-    """Load an index directory back into a Coordinator."""
+) -> dict:
+    """Read + verify an index directory into HOST (numpy) state: the shared
+    first half of every loader. Returns a dict with the config, allocator
+    state, and per-field row data at high_water length — callers place it
+    on one device (:func:`load_index`) or row-sharded over a mesh
+    (parallel.global_graph.load_global_sharded / sharded.load_sharded)."""
     directory = Path(directory)
     shadow = ShadowStorageService(directory)
     try:
@@ -296,13 +310,9 @@ def load_index(
         tombstones = shadow.load_tombstones()
         free_slots = [int(s) for s in shadow.get_metadata("free_slots", [])]
 
-        coord = Coordinator(config, initial_capacity=max(1024, hw))
-        cap = coord.capacity
-        # rowid -> slot translation table for neighbor ids.
-        slot_of = np.full(1, -1, np.int64)  # placeholder
+        # rowid -> slot translation for serialized neighbor ids.
         rowid_keys = np.asarray(sorted(lookup), np.int64)
         slot_vals = np.asarray([lookup[int(r)] for r in rowid_keys], np.int32)
-
         nbr_rowids = decoded["neighbor_rowids"]  # [hw, R]
         if hw:
             pos = np.searchsorted(rowid_keys, nbr_rowids)
@@ -316,79 +326,114 @@ def load_index(
         else:
             nbr_slots = np.empty((0, config.r), np.int32)
 
-        valid = np.zeros(cap, bool)
         vec_dtype = (
             np.int8
             if config.node_vector_type is VectorType.INT8
             else np.float32
         )
-        vecs = np.zeros((cap, config.dimensions), vec_dtype)
-        nbrs = np.full((cap, config.r), -1, np.int32)
-        if hw:
-            vecs[:hw] = decoded["vectors"].astype(vec_dtype)
-            nbrs[:hw] = nbr_slots
-        for rowid, slot in lookup.items():
-            valid[slot] = True
-            coord.allocator.rowid_to_slot[rowid] = slot
-            coord.allocator.slot_to_rowid[slot] = rowid
-            coord._slot_rowids[slot] = rowid
-        coord.allocator.high_water = hw
-        coord.allocator.free_slots = free_slots
-        coord.allocator.pending_deletion = tombstones
-        # A loaded index with any tombstoned/freed slots (or pending deltas
-        # to replay) may hold zombie in-edges: searches must keep the
-        # validity gather (see Coordinator._ever_tombstoned).
-        coord._ever_tombstoned = bool(tombstones or free_slots or pending)
-
-        arrays = make_graph_arrays(coord.params, cap)
-        new = {
-            "vectors": jnp.asarray(vecs),
-            "neighbors": jnp.asarray(nbrs),
-            "valid": jnp.asarray(valid),
+        valid_hw = np.zeros(hw, bool)
+        for slot in lookup.values():
+            if slot < hw:
+                valid_hw[slot] = True
+        fields = {
+            "vectors": decoded["vectors"].astype(vec_dtype)
+            if hw
+            else np.zeros((0, config.dimensions), vec_dtype),
+            "neighbors": nbr_slots,
+            "valid": valid_hw,
         }
-        et = coord.params.edge_type
-
-        def host_pad(name, rows):
-            # Host-side zeros of the device field's shape/dtype (never pull
-            # a zero array device->host just to discover shape+dtype).
-            field = getattr(arrays, name)
-            out = np.zeros(field.shape, field.dtype)
-            out[:hw] = rows
-            return jnp.asarray(out)
-
+        et = config.resolve_edge_type()
         if hw:
             if et is EdgeType.TERNARY:
-                new["edge_pos"] = host_pad("edge_pos", decoded["edge_pos"])
-                new["edge_neg"] = host_pad("edge_neg", decoded["edge_neg"])
+                fields["edge_pos"] = decoded["edge_pos"]
+                fields["edge_neg"] = decoded["edge_neg"]
             elif et is EdgeType.INT8:
-                new["edge_i8"] = host_pad("edge_i8", decoded["edge_i8"])
-                new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
+                fields["edge_i8"] = decoded["edge_i8"]
+                fields["edge_scale"] = decoded["edge_scale"]
             elif et is EdgeType.INT4:
-                new["edge_i4"] = host_pad(
-                    "edge_i4",
-                    i4_planar_from_packed_np(
-                        decoded["edge_i4"], coord.config.dimensions
-                    ),
+                fields["edge_i4"] = i4_planar_from_packed_np(
+                    decoded["edge_i4"], config.dimensions
                 )
-                new["edge_scale"] = host_pad("edge_scale", decoded["edge_scale"])
+                fields["edge_scale"] = decoded["edge_scale"]
             elif et is EdgeType.FLOAT32 or et is EdgeType.FLOAT16:
-                new["edge_f32"] = host_pad("edge_f32", decoded["edge_f32"])
+                fields["edge_f32"] = decoded["edge_f32"]
             elif et is EdgeType.FLOAT1BIT:
-                new["edge_pos"] = host_pad("edge_pos", decoded["edge_pos"])
-        coord.arrays = arrays._replace(**new)
+                fields["edge_pos"] = decoded["edge_pos"]
 
-        entry_rowid = shadow.get_metadata("entry_rowid", INVALID_ROW_ID)
-        if entry_rowid in lookup:
-            coord.entry_slot = lookup[entry_rowid]
-            coord.entry_rowid = entry_rowid
-        elif lookup:
-            coord.entry_slot, coord.entry_rowid = coord._select_fallback_entry()
-        coord.dirty = False
-        coord.needs_recovery = bool(pending)
-        coord.pending_deltas = pending
-        return coord
+        return {
+            "config": config,
+            "hw": hw,
+            "lookup": lookup,
+            "tombstones": tombstones,
+            "free_slots": free_slots,
+            "pending": pending,
+            "entry_rowid": shadow.get_metadata("entry_rowid", INVALID_ROW_ID),
+            "fields": fields,
+        }
     finally:
         shadow.close()
+
+
+def _host_graph_arrays(params, cap: int, st: dict) -> list[np.ndarray]:
+    """Full-capacity HOST arrays (ordered per GraphArrays._fields) from a
+    ``_load_host_state`` dict: zeros (-1 for neighbors) past high_water."""
+    proto = make_graph_arrays(params, 1)
+    hw = st["hw"]
+    out = []
+    for name, f in zip(GraphArrays._fields, proto):
+        shape = (cap,) + tuple(f.shape[1:])
+        if name == "neighbors":
+            a = np.full(shape, -1, np.dtype(f.dtype))
+        else:
+            a = np.zeros(shape, np.dtype(f.dtype))
+        rows = st["fields"].get(name)
+        if rows is not None and hw:
+            a[:hw] = rows
+        out.append(a)
+    return out
+
+
+def _restore_coordinator_meta(coord: Coordinator, st: dict, cap: int) -> None:
+    """Fill allocator / rowid maps / recovery flags from host state."""
+    sr = np.full(cap, INVALID_ROW_ID, np.int64)
+    for rowid, slot in st["lookup"].items():
+        coord.allocator.rowid_to_slot[rowid] = slot
+        coord.allocator.slot_to_rowid[slot] = rowid
+        sr[slot] = rowid
+    coord._slot_rowids = sr
+    coord.allocator.high_water = st["hw"]
+    coord.allocator.free_slots = st["free_slots"]
+    coord.allocator.pending_deletion = st["tombstones"]
+    # A loaded index with any tombstoned/freed slots (or pending deltas
+    # to replay) may hold zombie in-edges: searches must keep the
+    # validity gather (see Coordinator._ever_tombstoned).
+    coord._ever_tombstoned = bool(
+        st["tombstones"] or st["free_slots"] or st["pending"]
+    )
+    coord.dirty = False
+    coord.needs_recovery = bool(st["pending"])
+    coord.pending_deltas = st["pending"]
+
+
+def load_index(
+    directory: str | os.PathLike, verify_checksums: bool = True
+) -> Coordinator:
+    """Load an index directory back into a Coordinator."""
+    st = _load_host_state(directory, verify_checksums)
+    config, hw, lookup = st["config"], st["hw"], st["lookup"]
+    coord = Coordinator(config, initial_capacity=max(1024, hw))
+    cap = coord.capacity
+    _restore_coordinator_meta(coord, st, cap)
+    host = _host_graph_arrays(coord.params, cap, st)
+    coord.arrays = GraphArrays(*(jnp.asarray(a) for a in host))
+
+    entry_rowid = st["entry_rowid"]
+    if entry_rowid in lookup:
+        coord.entry_slot = lookup[entry_rowid]
+        coord.entry_rowid = entry_rowid
+    elif lookup:
+        coord.entry_slot, coord.entry_rowid = coord._select_fallback_entry()
+    return coord
 
 
 def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:

@@ -164,8 +164,157 @@ def test_distributed_build_memory_and_incremental(rng):
     np.testing.assert_array_equal(dists, d_ref)
     assert (ids[:4, 0] == np.arange(1000, 1004)).all()
 
-    with pytest.raises(NotImplementedError):
-        gidx.delete([0])
+
+def test_distributed_delete_vacuum_parity(rng):
+    """DELETE + VACUUM on a distributed-built index (VERDICT r3 item 4):
+    the sharded repair/rescue/tombstone path — including the psum'd global
+    in-link histogram — must leave a graph IDENTICAL to the single-chip
+    engine's delete on the same op sequence, and vacuum's reachability
+    repair must run (Coordinator.cpp:176-224,353-368)."""
+    n, d, mb = 300, 16, 64
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=64,
+        dimensions=d, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    data = rng.standard_normal((n, d)).astype(np.float32)
+
+    ref = Coordinator(cfg, initial_capacity=512)
+    ref.bulk_build(list(range(n)), data, max_batch=mb)
+
+    coord = Coordinator(cfg, initial_capacity=8)
+    gidx = GlobalShardedIndex(coord, mesh=make_mesh(8))
+    gidx.distributed_build(list(range(n)), data, max_batch=mb)
+
+    # Delete a spread of rows, including the entry point's row (forces the
+    # deterministic entry fallback on both engines).
+    victims = list(range(0, 60)) + [ref.entry_rowid]
+    n_ref = ref.delete(victims)
+    n_g = gidx.delete(victims)
+    assert n_g == n_ref
+
+    assert coord.entry_slot == ref.entry_slot
+    nbrs = np.asarray(gidx._stacked.neighbors).reshape(-1, cfg.r)
+    hw = ref.allocator.high_water
+    np.testing.assert_array_equal(
+        nbrs[:hw], np.asarray(ref.arrays.neighbors)[:hw]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gidx._stacked.valid).reshape(-1)[:hw],
+        np.asarray(ref.arrays.valid)[:hw],
+    )
+
+    queries = rng.standard_normal((16, d)).astype(np.float32)
+    ids_1, d_1 = ref.search(queries, 5, l_search=64)
+    ids_s, d_s = gidx.search(queries, 5, l_search=64)
+    np.testing.assert_array_equal(ids_s, ids_1)
+    np.testing.assert_array_equal(d_s, d_1)
+    assert not set(np.asarray(ids_s).ravel()) & set(victims)
+
+    # Vacuum recycles the tombstoned slots and repairs reachability on
+    # both engines; graphs must still agree.
+    rec_ref = ref.vacuum()
+    rec_g = gidx.vacuum()
+    assert rec_g == rec_ref
+    nbrs = np.asarray(gidx._stacked.neighbors).reshape(-1, cfg.r)
+    np.testing.assert_array_equal(
+        nbrs[:hw], np.asarray(ref.arrays.neighbors)[:hw]
+    )
+    ids_1, d_1 = ref.search(queries, 5, l_search=64)
+    ids_s, d_s = gidx.search(queries, 5, l_search=64)
+    np.testing.assert_array_equal(ids_s, ids_1)
+    np.testing.assert_array_equal(d_s, d_1)
+
+
+def test_distributed_persistence_roundtrip(rng, tmp_path):
+    """save -> load -> search on a distributed-BUILT index (VERDICT r3
+    item 3 / missing #1): the checkpoint writes the standard single-chip
+    directory format from per-shard pulls; the loader re-shards without
+    ever materializing the graph on one device; results are ID-exact. The
+    same directory must also open on the single-chip engine (format
+    interop), and DML keeps working after the reload."""
+    from duckdb_lm_diskann_tpu.parallel.global_graph import (
+        load_global_sharded,
+    )
+    from duckdb_lm_diskann_tpu.store.checkpoint import load_index
+
+    n, d, mb = 300, 16, 64
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=64,
+        dimensions=d, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT4,
+    )
+    cfg.validate()
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    coord = Coordinator(cfg, initial_capacity=8)
+    gidx = GlobalShardedIndex(coord, mesh=make_mesh(8))
+    gidx.distributed_build(list(range(n)), data, max_batch=mb)
+    gidx.delete(list(range(20)))  # tombstones must survive the roundtrip
+
+    queries = rng.standard_normal((8, d)).astype(np.float32)
+    ids_0, d_0 = gidx.search(queries, 5, l_search=64)
+
+    info = gidx.save(tmp_path / "gidx")
+    assert info["blocks_written"] > 0
+
+    g2 = load_global_sharded(tmp_path / "gidx", mesh=make_mesh(8))
+    assert g2._distributed
+    # per-device memory: every shard leaf holds exactly C/S rows
+    cap = g2._stacked.vectors.shape[0] * g2._stacked.vectors.shape[1]
+    for a in g2._stacked:
+        if a.size:
+            for s in a.addressable_shards:
+                assert s.data.shape[0] == 1 and s.data.shape[1] == cap // 8
+    ids_1, d_1 = g2.search(queries, 5, l_search=64)
+    np.testing.assert_array_equal(ids_1, ids_0)
+    np.testing.assert_array_equal(d_1, d_0)
+
+    # Format interop: the same directory opens single-chip.
+    c1 = load_index(tmp_path / "gidx")
+    ids_2, d_2 = c1.search(queries, 5, l_search=64)
+    np.testing.assert_array_equal(ids_2, ids_0)
+    np.testing.assert_array_equal(d_2, d_0)
+
+    # DML continues post-load on the sharded path.
+    extra = rng.standard_normal((10, d)).astype(np.float32)
+    g2.insert(list(range(2000, 2010)), extra)
+    g2.delete(list(range(40, 50)))
+    ids_3, _ = g2.search(extra[:3], 1, l_search=64)
+    assert (ids_3[:, 0] == np.arange(2000, 2003)).all()
+
+
+def test_sharded_disjoint_persistence_roundtrip(rng, tmp_path):
+    """ShardedIndex (disjoint subgraph mode) save -> load -> search
+    roundtrip: per-shard directories through the standard format."""
+    from duckdb_lm_diskann_tpu.parallel.sharded import (
+        ShardedIndex,
+        load_sharded,
+    )
+
+    n, d = 240, 16
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=64,
+        dimensions=d, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    idx = ShardedIndex(cfg, mesh=make_mesh(8))
+    idx.build(np.arange(n), data, max_batch=64)
+    idx.delete(list(range(10)))
+
+    queries = rng.standard_normal((8, d)).astype(np.float32)
+    ids_0, d_0 = idx.search(queries, 5, l_search=64)
+
+    idx.save(tmp_path / "sidx")
+    idx2 = load_sharded(tmp_path / "sidx", mesh=make_mesh(8))
+    ids_1, d_1 = idx2.search(queries, 5, l_search=64)
+    np.testing.assert_array_equal(ids_1, ids_0)
+    np.testing.assert_array_equal(d_1, d_0)
+
+    with pytest.raises(ValueError):
+        load_sharded(tmp_path / "sidx", mesh=make_mesh(4))
 
 
 def test_global_sharded_hbm_split(rng):

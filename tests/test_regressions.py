@@ -180,3 +180,21 @@ def test_assume_all_valid_fast_path_is_bit_identical(rng):
     assert coord.snapshot()._ever_tombstoned
     ids, _ = coord.search(data[5][None, :], 3)
     assert 5 not in ids[0].tolist()
+
+
+def test_delete_with_duplicate_rowids_in_one_batch(rng):
+    """A rowid listed twice in one delete batch is ONE delete; the second
+    occurrence is skipped like a missing row (round-4 fix: the second
+    free() used to pop an unmapped rowid and raise KeyError)."""
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=4, l_insert=8, l_search=16,
+        dimensions=8, node_vector_type=VectorType.FLOAT32,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((40, 8)).astype(np.float32)
+    coord.bulk_build(list(range(40)), data)
+    assert coord.delete([3, 7, 3, 11, 7, 3]) == 3
+    assert coord.count == 37
+    ids, _ = coord.search(data[:1], 5, l_search=16)
+    assert not {3, 7, 11} & set(ids.ravel().tolist())
