@@ -116,6 +116,38 @@ def ops_lifecycle(n, n_queries):
     return ops
 
 
+def ops_lifecycle_big(n, n_queries):
+    """5k-scale lifecycle (VERDICT r3 item 6): replace/prune interactions,
+    zombie accumulation and entry-point churn only bite past a few hundred
+    rows. Phases: full build -> snapshot (zombie-FREE: the engine search-
+    parity window) -> searches -> ~n/7 spread deletes -> snapshot ->
+    searches through the zombies -> interleaved delete/re-insert waves
+    reusing freed rowids (the zombie-override path,
+    vectordiskann.c:1202-1205) -> final searches. Snapshots only at phase
+    boundaries (adj_every=0) to bound the checked-in file size."""
+    ops = [f"insert {i + 1} {i}" for i in range(n)]
+    ops.append("snapshot")
+    ops += [f"search 10 {n + q}" for q in range(n_queries // 2)]
+    deleted = list(range(3, n, 7))
+    ops += [f"delete {r + 1}" for r in deleted]
+    ops.append("snapshot")
+    ops += [f"search 10 {n + q}" for q in range(n_queries // 2, n_queries)]
+    # Interleaved waves: re-insert a block of freed rowids (with different
+    # vectors), then delete a block of still-live rows, repeat — zombie
+    # override + fresh zombie creation interacting in the same regions.
+    dead = set(deleted)
+    fresh = [r for r in range(4, n, 13) if r not in dead]
+    blocks = [deleted[i::3] for i in range(3)]
+    for w, blk in enumerate(blocks):
+        for r in blk:
+            ops.append(f"insert {r + 1} {(r + (w + 1) * n // 4) % n}")
+        for r in fresh[w::3]:
+            ops.append(f"delete {r + 1}")
+    ops += [f"search 10 {n + q}" for q in range(n_queries)]
+    ops.append("snapshot")
+    return ops
+
+
 def main():
     with tempfile.TemporaryDirectory() as td:
         exe = build_harness(td)
@@ -139,6 +171,18 @@ def main():
         run_scenario(
             exe, "cos_lifecycle", n=90, dims=10, metric="cos", seed=5005,
             maxnbrs=6, insert_l=16, search_l=24, ops_fn=ops_lifecycle,
+        )
+        run_scenario(
+            exe, "l2_lifecycle_5k", n=5000, dims=8, metric="l2", seed=6006,
+            maxnbrs=8, insert_l=20, search_l=32, ops_fn=ops_lifecycle_big,
+            n_queries=32, adj_every=0,
+            # Wider integer range than the small traces: at 5k rows x 8
+            # dims, +-60 coordinates collide in exact L2 distance (integer
+            # sum-of-squares ties), and the reference breaks ties by
+            # candidate-insertion order where the engine spec pins
+            # (distance, row_id) — +-600 keeps squares exact in f32
+            # (sums < 2^24) while making ties vanish.
+            vec_lo=-600, vec_hi=601,
         )
     return 0
 
