@@ -753,6 +753,49 @@ def insert_step(
     return arrays, refresh_t, refresh_f
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "full_visited", "recip_rounds", "all_valid"),
+    donate_argnums=(0,),
+)
+def insert_step_fused(
+    arrays: GraphArrays,
+    new_slots: jnp.ndarray,
+    new_vecs: jnp.ndarray,
+    entry_slot: jnp.ndarray,
+    *,
+    params: GraphParams,
+    full_visited: bool,
+    recip_rounds: int,
+    all_valid: bool = False,
+) -> GraphArrays:
+    """insert_step + the deferred edge-code refresh chunks as ONE device
+    program (the construction _global_insert_step already uses per shard).
+    On the tunneled single-chip backend each dispatch costs ~20-25 ms of
+    fixed overhead; a bulk batch is insert_step + ~3-5 refresh dispatches,
+    so fusing removes most of the per-batch dispatch tax. The refresh still
+    runs in _pair_chunk-bounded pieces INSIDE the program, so the gather
+    working set stays bounded; XLA aliases the donated arrays through the
+    chain. Graph results are identical to the unfused path (same ops, same
+    order)."""
+    arrays, refresh_t, refresh_f = insert_step.__wrapped__(
+        arrays,
+        new_slots,
+        new_vecs,
+        entry_slot,
+        params=params,
+        full_visited=full_visited,
+        recip_rounds=recip_rounds,
+        all_valid=all_valid,
+    )
+    CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
+    for off in range(0, refresh_t.shape[0], CH):
+        arrays = refresh_edge_codes.__wrapped__(
+            arrays, refresh_t[off : off + CH], params=params
+        )
+    return refresh_edge_codes.__wrapped__(arrays, refresh_f, params=params)
+
+
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
 def refresh_edge_codes(
     arrays: GraphArrays,
@@ -818,9 +861,29 @@ def insert_batch(
     # target applied (visited sets are duplicate-free, so one round covers
     # all pairs).
     full = M == 1
-    step_fn = insert_step if donate else insert_step_nodonate
-    refresh_fn = refresh_edge_codes if donate else refresh_edge_codes_nodonate
+    import os
+
+    fused = donate and os.environ.get("LMD_FUSE_REFRESH", "1") != "0"
     try:
+        if fused:
+            # One device program per batch: insert + refresh chunks fused
+            # (removes ~3-5 per-batch dispatches' fixed overhead on the
+            # tunneled backend). Identical graph results.
+            arrays = insert_step_fused(
+                arrays,
+                new_slots_d,
+                new_vecs_d,
+                jnp.int32(entry_slot),
+                params=params,
+                full_visited=full,
+                recip_rounds=1 if full else _RECIP_ROUNDS,
+                all_valid=all_valid,
+            )
+            return arrays
+        step_fn = insert_step if donate else insert_step_nodonate
+        refresh_fn = (
+            refresh_edge_codes if donate else refresh_edge_codes_nodonate
+        )
         arrays, refresh_t, refresh_f = step_fn(
             arrays,
             new_slots_d,

@@ -360,13 +360,20 @@ class Coordinator:
         (searcher.beam_search_many) — the throughput path; per-dispatch
         host round-trips (~31 ms on the tunneled backend) are paid once
         per call, not once per batch. Results are bit-identical to the
-        single-dispatch path."""
+        single-dispatch path. SearchStats caveat for this path: ``hops``
+        sums the per-batch lock-step hop counts (pad lanes, which repeat
+        query 0, can extend the last batch's loop), and visited/
+        distance_ops count only the B real lanes — so stats are not
+        directly comparable with a single-dispatch run of the same
+        queries."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.config.dimensions:
             raise ValueError(
                 f"query dimensions {queries.shape[1]} != index dimensions "
                 f"{self.config.dimensions}"
             )
+        if batch_size is not None and batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         B = queries.shape[0]
         # Everything below reads ONLY the captured view, never live self
         # state: with a view captured under the adapter's state lock this

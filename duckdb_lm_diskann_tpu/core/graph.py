@@ -113,7 +113,7 @@ class GraphParams:
     # (GraphManager.cpp:98-107, SURVEY Appendix B — done right here).
     node_vtype: VectorType = VectorType.FLOAT32
     # Frontier-scoring kernel dispatch: "auto" | "1" | "interpret" | "0"
-    # (see ops/pallas_kernels.dispatch_mode). Static, so flipping it
+    # (see experiments/pallas_kernels.dispatch_mode). Static, so flipping it
     # retraces — the trace-time analog of the reference's GetDotKernel
     # function-pointer dispatch (ternary_quantization.hpp:562-602).
     pallas: str = "auto"

@@ -56,7 +56,7 @@ import jax
 import jax.numpy as jnp
 
 from ..common.types import EdgeType, MetricType
-from ..ops import pallas_kernels
+from ..experiments import pallas_kernels
 from ..ops import topk as topk_ops
 from ..ops.distance import (
     pairwise_distance,
@@ -107,7 +107,7 @@ def _score_edges(
 
     Hot-op dispatch (the reference's GetDotKernel runtime dispatch,
     ternary_quantization.hpp:562-602): on TPU the fused Pallas kernels in
-    ops/pallas_kernels.py stream each visited node's cached codes through
+    experiments/pallas_kernels.py stream each visited node's cached codes through
     VMEM once (gather -> dequant/popcount -> distance); elsewhere, or with
     LMD_PALLAS=0, the plain-XLA jnp forms below run."""
     et = params.edge_type
@@ -511,7 +511,13 @@ def beam_search_many(
     doubles measured serving throughput. Results are bit-identical to NB
     separate :func:`beam_search` calls (the scan body IS beam_search); only
     the per-batch visited logs are dropped from the return value to keep
-    the output O(NB*B*k) instead of O(NB*B*max_visits)."""
+    the output O(NB*B*k) instead of O(NB*B*max_visits).
+
+    Retrace caveat: NB is a traced dimension of ``queries``, so every
+    distinct ceil(B/batch_size) compiles a fresh program. Serving loops
+    with varying total B should pad NB to a small set of bucket sizes
+    (pad lanes repeat a real query and are discarded on the host —
+    exactly what Coordinator.search(batch_size=...) does within one NB)."""
     def step(carry, qb):
         res = beam_search(
             arrays,

@@ -176,9 +176,43 @@ def optimize(plan: LogicalOp) -> LogicalOp:
     """Run all rewrite passes (the optimizer-extension hook of
     HNSWModule::Register)."""
     plan = _optimize_exprs(plan)
+    # Merge twice, like the reference's pass ordering: once BEFORE the
+    # scan rewrites (normalizing projection chains so the TopN/TopK
+    # matchers, which unwrap a single projection node, still fire) and
+    # once AFTER (collapsing the projection the rewrite re-wraps).
+    plan = _merge_projections(plan)
     plan = _optimize_topn(plan)
     plan = _optimize_topk(plan)
     plan = _optimize_join(plan)
+    plan = _merge_projections(plan)
+    return plan
+
+
+def _merge_projections(plan: LogicalOp) -> LogicalOp:
+    """MergeProjections analog (hnsw_optimize_scan.cpp:202-250): the TopN/
+    TopK rewrites re-wrap the new index scan with the query's original
+    projection, so a plan that already projected ends up with adjacent
+    projection nodes — and the executor would materialize the inner
+    node's columns only to discard them. Collapse Projection-over-
+    Projection into the outer column set whenever the outer columns are a
+    subset of what the inner produces."""
+    if not dataclasses.is_dataclass(plan):
+        return plan
+    updates = {}
+    for f in dataclasses.fields(plan):
+        v = getattr(plan, f.name)
+        if isinstance(v, LogicalOp):
+            nv = _merge_projections(v)
+            if nv is not v:
+                updates[f.name] = nv
+    if updates:
+        plan = dataclasses.replace(plan, **updates)
+    if isinstance(plan, LogicalProjection) and isinstance(
+        plan.child, LogicalProjection
+    ):
+        inner = plan.child
+        if all(c in inner.columns for c in plan.columns):
+            plan = LogicalProjection(inner.child, list(plan.columns))
     return plan
 
 

@@ -22,7 +22,7 @@ Ternary dot product (ternary_quantization.hpp:44):
 Where the reference dispatches to one of four hand-written SIMD kernels per
 CPU, here a single expression of bitwise-AND + ``lax.population_count`` + sum
 compiles to the VPU on TPU; the batched frontier-scoring form also has a
-Pallas kernel (ops/pallas_kernels.py) that fuses the whole
+Pallas kernel (experiments/pallas_kernels.py) that fuses the whole
 "gather codes -> popcount dot -> similarity" pipeline.
 """
 

@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from duckdb_lm_diskann_tpu.ops.pallas_kernels import (
+from duckdb_lm_diskann_tpu.experiments.pallas_kernels import (
     ternary_frontier_scores,
     ternary_frontier_scores_auto,
 )
@@ -37,7 +37,7 @@ def test_fused_frontier_scores_match_jnp(rng):
 
 def test_int8_frontier_scores_match_jnp(rng):
     from duckdb_lm_diskann_tpu.common.types import MetricType
-    from duckdb_lm_diskann_tpu.ops.pallas_kernels import int8_frontier_scores
+    from duckdb_lm_diskann_tpu.experiments.pallas_kernels import int8_frontier_scores
     from duckdb_lm_diskann_tpu.ops.distance import pairwise_distance
     from duckdb_lm_diskann_tpu.ops.quantize import encode_int8_np
 
@@ -62,7 +62,7 @@ def test_int8_frontier_scores_match_jnp(rng):
 
 def test_int4_frontier_scores_match_jnp(rng):
     from duckdb_lm_diskann_tpu.common.types import MetricType
-    from duckdb_lm_diskann_tpu.ops.pallas_kernels import int4_frontier_scores
+    from duckdb_lm_diskann_tpu.experiments.pallas_kernels import int4_frontier_scores
     from duckdb_lm_diskann_tpu.ops.distance import pairwise_distance
     from duckdb_lm_diskann_tpu.ops.quantize import (
         decode_int4,
@@ -93,7 +93,7 @@ def test_int4_frontier_scores_match_jnp(rng):
 def test_engine_beam_search_dispatches_pallas(rng):
     """Engine-level: beam_search with the fused kernels (interpreter on CPU)
     returns the same results as the jnp fallback path — the wiring the
-    round-1 verdict flagged as missing (ops/pallas_kernels orphaned)."""
+    round-1 verdict flagged as missing (pallas_kernels orphaned)."""
     import dataclasses
 
     from duckdb_lm_diskann_tpu.common.types import (
@@ -157,7 +157,7 @@ def test_int4_deep_kernel_matches_blockspec_kernel(rng):
     """The K-deep manual-DMA pipeline is bit-identical to the
     BlockSpec-pipelined INT4 kernel (same math, different data movement)."""
     from duckdb_lm_diskann_tpu.common.types import MetricType
-    from duckdb_lm_diskann_tpu.ops.pallas_kernels import (
+    from duckdb_lm_diskann_tpu.experiments.pallas_kernels import (
         int4_frontier_scores,
         int4_frontier_scores_deep,
     )
@@ -228,7 +228,7 @@ def test_engine_dispatches_deep_kernel(rng):
 
 
 def test_ternary_deep_kernel_matches_blockspec_kernel(rng):
-    from duckdb_lm_diskann_tpu.ops.pallas_kernels import (
+    from duckdb_lm_diskann_tpu.experiments.pallas_kernels import (
         ternary_frontier_scores,
         ternary_frontier_scores_deep,
     )

@@ -386,3 +386,38 @@ def test_vector_top_k_by_index_name(rng):
 
     with _pytest.raises(KeyError):
         db.vector_top_k("nope", data[0], 3)
+
+
+def test_merge_projections_collapses_nested(db_and_table):
+    """MergeProjections analog (hnsw_optimize_scan.cpp:202-250): the TopN
+    rewrite over an already-projected plan must leave ONE projection node
+    (outer column set) over the index scan, not a projection chain that
+    materializes discarded columns."""
+    db, t, data = db_and_table
+    db.create_index("idx", t, "vec", options={"metric": "l2", "r": 16,
+                                              "l_insert": 32, "l_search": 64})
+    from duckdb_lm_diskann_tpu.db.functions import l2 as l2fn
+    from duckdb_lm_diskann_tpu.db.planner import (
+        Const,
+        LogicalGet,
+        LogicalTopN,
+        execute,
+        optimize,
+    )
+
+    inner = LogicalProjection(LogicalGet(t), ["vec", "label"])
+    outer = LogicalProjection(inner, ["label"])
+    plan = LogicalTopN(
+        child=LogicalProjection(outer, ["label"]),
+        order_expr=l2fn(planner.ColumnRef("vec", t.name), Const(data[2])),
+        limit=5,
+    )
+    optimized = optimize(plan)
+    # one merged projection over the rewritten scan
+    assert isinstance(optimized, LogicalProjection)
+    assert optimized.columns == ["label"]
+    assert isinstance(optimized.child, LogicalIndexScan)
+    res = execute(optimized)
+    res.pop("_table", None)
+    assert set(res) == {"row_ids", "distance", "label"}
+    assert res["row_ids"][0] == 2
