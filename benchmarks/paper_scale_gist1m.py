@@ -46,11 +46,21 @@ def main() -> None:
     from duckdb_lm_diskann_tpu.parallel.global_graph import GlobalShardedIndex
     from duckdb_lm_diskann_tpu.parallel.mesh import make_mesh
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    max_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    # Defaults sized for the XLA-CPU virtual mesh: the 8-device EMULATION
+    # holds every shard's replicated program buffers in one process and
+    # its memory grows far past the real per-chip footprint (2048-row and
+    # 8192-row runs of the 960d insert program peaked ~130 GB host RSS
+    # and were OOM-killed on a 125 GB box; 1024 rows completes — while
+    # the true graph state at these sizes is <200 MB). Real multi-chip
+    # HBM behavior is what tests/test_paper_scale.py's 1Mx960d allocation
+    # test pins; this script's value is the end-to-end distributed-build
+    # recall measurement at the paper's dimensionality.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    max_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    r = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     d = 960
     cfg = LmDiskannConfig(
-        metric_type=MetricType.COSINE, r=64, l_insert=128, l_search=100,
+        metric_type=MetricType.COSINE, r=r, l_insert=2 * r, l_search=100,
         dimensions=d, node_vector_type=VectorType.FLOAT32,
         edge_type=EdgeType.TERNARY,
     )
