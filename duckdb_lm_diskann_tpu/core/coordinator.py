@@ -347,6 +347,8 @@ class Coordinator:
         allowed_rowids: "np.ndarray | None" = None,
         view: "ReadView | None" = None,
         batch_size: int | None = None,
+        adaptive_seeds: int = 0,
+        seed_sample: int = 4096,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
@@ -365,7 +367,15 @@ class Coordinator:
         query 0, can extend the last batch's loop), and visited/
         distance_ops count only the B real lanes — so stats are not
         directly comparable with a single-dispatch run of the same
-        queries."""
+        queries.
+
+        ``adaptive_seeds``: when > 0, each query's beam is seeded with its
+        ``adaptive_seeds`` nearest nodes among a ``seed_sample``-node
+        stratified live sample (searcher.pick_adaptive_seeds) instead of
+        the global entry point — the IVF-style entry fix for clustered
+        corpora (+2.4% recall@10 on the HARD corpus at the same visit
+        budget). Off by default: the reference semantics (single global
+        entry) stay the parity-pinned behavior; overrides ``n_seeds``."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.config.dimensions:
             raise ValueError(
@@ -410,10 +420,18 @@ class Coordinator:
                 queries[:1], (nb * batch_size, queries.shape[1])
             ).copy()
             padded[:B] = queries
+            q_dev = jnp.asarray(padded).reshape(nb, batch_size, -1)
+            if adaptive_seeds > 0:
+                entry = self._pick_adaptive(
+                    view, q_dev.reshape(nb * batch_size, -1),
+                    adaptive_seeds, seed_sample, L,
+                ).reshape(nb, batch_size, -1)
+            else:
+                entry = jnp.asarray(seeds)
             mres = beam_search_many(
                 view.arrays,
-                jnp.asarray(padded).reshape(nb, batch_size, -1),
-                jnp.asarray(seeds),
+                q_dev,
+                entry,
                 params=self.params,
                 l_search=L,
                 k=k,
@@ -426,10 +444,16 @@ class Coordinator:
             visited = int(np.asarray(mres.visited_count).reshape(-1)[:B].sum())
             hops = int(np.asarray(mres.hops).sum())
         else:
+            q_dev = jnp.asarray(queries)
+            entry = (
+                self._pick_adaptive(view, q_dev, adaptive_seeds, seed_sample, L)
+                if adaptive_seeds > 0
+                else jnp.asarray(seeds)
+            )
             res = beam_search(
                 view.arrays,
-                jnp.asarray(queries),
-                jnp.asarray(seeds),
+                q_dev,
+                entry,
                 params=self.params,
                 l_search=L,
                 k=k,
@@ -618,6 +642,31 @@ class Coordinator:
         self.dirty = True
         self._needs_reachability_repair = True
         return len(present)
+
+    def _pick_adaptive(
+        self,
+        view: ReadView,
+        q_dev: "jnp.ndarray",
+        s_count: int,
+        seed_sample: int,
+        l_search: int,
+    ) -> "jnp.ndarray":
+        """Per-query adaptive seeds i32[B, S]: nearest of a stratified live
+        sample (searcher.pick_adaptive_seeds)."""
+        from .searcher import pick_adaptive_seeds
+
+        cap = view.arrays.capacity
+        live = np.nonzero(view.slot_rowids[:cap] != INVALID_ROW_ID)[0]
+        m = max(min(seed_sample, len(live)), 1)
+        step = max(len(live) // m, 1)
+        sample = live[step // 2 :: step][:m].astype(np.int32)
+        return pick_adaptive_seeds(
+            view.arrays.vectors,
+            q_dev,
+            jnp.asarray(sample),
+            metric=self.params.metric,
+            s_count=max(1, min(s_count, len(sample), l_search)),
+        )
 
     def _seed_slots(self, n_seeds: int) -> np.ndarray:
         """Pinned seed set for multi-seed search: the entry point plus

@@ -281,3 +281,76 @@ def test_beam_search_many_bit_identical(rng):
     ids_b, d_b = coord.search(q2, k, batch_size=8)
     np.testing.assert_array_equal(ids_a, ids_b)
     np.testing.assert_array_equal(d_a, d_b)
+
+
+def test_per_query_seeds_match_shared(rng):
+    """beam_search with i32[B, S] per-query seeds where every row carries
+    the SAME seed set must be bit-identical to the shared i32[S] form
+    (the broadcast is the only difference)."""
+    n, dims, k = 200, 16, 5
+    params = make_params(MetricType.COSINE, EdgeType.TERNARY, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.COSINE, EdgeType.TERNARY,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+    queries = rng.standard_normal((6, dims)).astype(np.float32)
+    seeds = np.asarray([oracle.entry_point, 3, 17], np.int32)
+
+    shared = beam_search(
+        arrays, jnp.asarray(queries), jnp.asarray(seeds),
+        params=params, l_search=32, k=k,
+    )
+    per_query = beam_search(
+        arrays, jnp.asarray(queries),
+        jnp.broadcast_to(jnp.asarray(seeds)[None, :], (6, 3)),
+        params=params, l_search=32, k=k,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(per_query.topk_slots), np.asarray(shared.topk_slots)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(per_query.topk_dists), np.asarray(shared.topk_dists)
+    )
+
+
+def test_adaptive_seeds_search(rng):
+    """Coordinator.search(adaptive_seeds=...) seeds each query at its
+    nearest sampled nodes: results stay exact self-matches, work through
+    the pipelined batch_size path, and the seeds actually differ per
+    query (distinct clusters -> distinct seed rows)."""
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.common.types import VectorType
+
+    n, dims = 400, 16
+    # two well-separated clusters
+    data = np.concatenate([
+        rng.standard_normal((n // 2, dims)).astype(np.float32) + 20.0,
+        rng.standard_normal((n // 2, dims)).astype(np.float32) - 20.0,
+    ])
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    coord.bulk_build(list(range(n)), data, max_batch=64)
+
+    q = data[[0, n - 1]]  # one query per cluster
+    view = coord.capture_view()
+    import jax.numpy as jnp2
+
+    seeds = coord._pick_adaptive(view, jnp2.asarray(q), 2, 64, 32)
+    assert seeds.shape == (2, 2)
+    assert not np.array_equal(np.asarray(seeds[0]), np.asarray(seeds[1]))
+
+    ids, _ = coord.search(q, 1, adaptive_seeds=2)
+    np.testing.assert_array_equal(ids[:, 0], [0, n - 1])
+    # pipelined path with adaptive seeds
+    q8 = data[: 7]
+    ids_b, d_b = coord.search(q8, 3, adaptive_seeds=2, batch_size=2)
+    ids_u, d_u = coord.search(q8, 3, adaptive_seeds=2)
+    np.testing.assert_array_equal(ids_b, ids_u)
+    np.testing.assert_array_equal(d_b, d_u)
