@@ -42,8 +42,8 @@ reported as qps_per_dispatch for comparison.
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_BATCH (1024),
 BENCH_BATCHES ("2048,4096" extra serving batch sizes), BENCH_QUERIES
 (4096), BENCH_L (100), BENCH_WIDTH (1), BENCH_EDGE (int4), BENCH_MAX_BATCH
-(1024 build batch), BENCH_INSERT_W (2; insert-path beam width for bulk
-builds), BENCH_N2 (100_000 GIST; 0 disables), BENCH_N3 (200_000 DEEP),
+(2048 build batch; 2048 measured ~1.5x the 1024 steady build rate),
+BENCH_INSERT_W (1), BENCH_N2 (100_000 GIST; 0 disables), BENCH_N3 (200_000 DEEP),
 BENCH_N4 (50_000 HARD), BENCH_DELETES (1000), BENCH_DEEP (1; 0 skips the
 manual-DMA kernel A/B), BENCH_BUDGET_S (2400).
 """
@@ -154,14 +154,15 @@ def run_config(
         dimensions=dims,
         node_vector_type=VectorType.FLOAT32,
         edge_type=EdgeType.parse(edge_type) if edge_type else None,
-        # Bulk-build insert-path beam width: W=2 measured +7% build
-        # throughput at recall parity (benchmarks/ab_insert_width.py);
-        # batch-1 (sequential/libSQL-parity) inserts pin W=1 regardless
-        # (builder.insert_step full_visited path).
-        insert_beam_width=int(os.environ.get("BENCH_INSERT_W", 2)),
+        # Bulk-build insert-path beam width: with the fused insert
+        # program, W=1 == W=2 within tunnel noise (round-4 interleaved
+        # A/B at max_batch=2048: W1 2491/3118 vs W2 2793/2909 steady/s)
+        # — W=1 keeps the visit-order-parity semantics. The r3 +7% for
+        # W=2 predated dispatch fusing.
+        insert_beam_width=int(os.environ.get("BENCH_INSERT_W", 1)),
     )
     cfg.validate()
-    max_batch = int(os.environ.get("BENCH_MAX_BATCH", 1024))
+    max_batch = int(os.environ.get("BENCH_MAX_BATCH", 2048))
 
     t0 = time.perf_counter()
     coord = Coordinator(cfg, initial_capacity=n)

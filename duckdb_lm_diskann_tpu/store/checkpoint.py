@@ -436,11 +436,16 @@ def load_index(
     return coord
 
 
-def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:
+def recover(index, primary, directory: str | os.PathLike) -> int:
     """Replay un-merged deltas after a crash (startup reconciliation,
     Proposal:426-429). ``primary`` is a PrimaryStorageService for re-reading
     vectors of rows whose blocks never reached graph.lmd. Returns the number
     of deltas replayed; saves a clean checkpoint afterwards.
+
+    ``index`` is a Coordinator or any index-like exposing
+    insert/delete/save and a ``.coordinator`` (GlobalShardedIndex: the
+    replay then runs through the row-sharded DML path, so crash recovery
+    works for indexes bigger than one chip too).
 
     The delta log is replayed in sequence order, but consecutive runs of
     the SAME op are coalesced into one batched insert/delete: distinct-row
@@ -450,6 +455,7 @@ def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:
     between hours and seconds at a 100k-delta backlog (replay cost == the
     engine's bulk-insert rate; see docs/DURABILITY.md for the bound and
     the auto-checkpoint trigger that caps the backlog)."""
+    coord = getattr(index, "coordinator", index)
     pending = getattr(coord, "pending_deltas", [])
     replayed = 0
     run_op: str | None = None
@@ -464,9 +470,9 @@ def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:
             vecs = np.atleast_2d(
                 np.asarray(primary.get_vectors(run_rows), np.float32)
             )
-            coord.insert(run_rows, vecs)
+            index.insert(run_rows, vecs)
         else:
-            coord.delete(run_rows)
+            index.delete(run_rows)
         replayed += len(run_rows)
         run_rows.clear()
         run_set.clear()
@@ -491,7 +497,10 @@ def recover(coord: Coordinator, primary, directory: str | os.PathLike) -> int:
     flush()
     coord.needs_recovery = False
     coord.pending_deltas = []
-    save_index(coord, directory)
+    if index is coord:
+        save_index(coord, directory)
+    else:
+        index.save(directory)
     return replayed
 
 

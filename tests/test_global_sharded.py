@@ -328,3 +328,56 @@ def test_global_sharded_hbm_split(rng):
         shape = shard_shapes.pop()
         assert shape[0] == 1  # one block row of [S, C/S, ...] per device
         assert shape[1] == coord.capacity // 8
+
+
+def test_distributed_crash_recovery_replays_deltas(rng, tmp_path):
+    """Crash recovery on a distributed-built index: load_global_sharded
+    surfaces the un-merged delta backlog and checkpoint.recover replays it
+    through the row-sharded DML path (insert + delete), then re-saves —
+    the startup-reconciliation contract (Proposal:426-429) holding past
+    one chip's HBM."""
+    from duckdb_lm_diskann_tpu.parallel.global_graph import (
+        load_global_sharded,
+    )
+    from duckdb_lm_diskann_tpu.store import checkpoint
+
+    n, d = 200, 16
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=64,
+        dimensions=d, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    data = rng.standard_normal((n + 20, d)).astype(np.float32)
+    coord = Coordinator(cfg, initial_capacity=8)
+    gidx = GlobalShardedIndex(coord, mesh=make_mesh(8))
+    gidx.distributed_build(list(range(n)), data[:n], max_batch=64)
+    gidx.save(tmp_path / "g")
+
+    g2 = load_global_sharded(tmp_path / "g", mesh=make_mesh(8))
+    # Simulate a crash that left deltas in the log: 20 inserts that never
+    # reached graph.lmd plus 5 deletes.
+    g2.coordinator.pending_deltas = (
+        [(i, "insert", n + i, None) for i in range(20)]
+        + [(100 + i, "delete", i, None) for i in range(5)]
+    )
+    g2.coordinator.needs_recovery = True
+
+    class Primary:
+        def get_vectors(self, rows):
+            return data[np.asarray(rows, np.int64)]
+
+    replayed = checkpoint.recover(g2, Primary(), tmp_path / "g")
+    assert replayed == 25
+    assert not g2.coordinator.needs_recovery
+
+    ids, _ = g2.search(data[n : n + 4], 1, l_search=64)
+    assert (ids[:, 0] == np.arange(n, n + 4)).all()
+    ids2, _ = g2.search(data[:1], 5, l_search=64)
+    assert 0 not in set(ids2.ravel().tolist())
+
+    # The post-recovery checkpoint reloads clean.
+    g3 = load_global_sharded(tmp_path / "g", mesh=make_mesh(8))
+    assert not getattr(g3.coordinator, "needs_recovery", False)
+    ids3, _ = g3.search(data[n : n + 4], 1, l_search=64)
+    np.testing.assert_array_equal(ids3, ids)
