@@ -973,10 +973,10 @@ class GlobalShardedIndex:
         Distributed-built mode: each shard's rows are pulled to HOST shard
         by shard (per-device HBM never holds more than its own 1/S; host
         RAM streams the encode in chunk_bytes pieces) and written through
-        the unchanged block codec via a host-materialized facade. Multi-
-        process meshes are rejected for now — each process can only
-        address its local shards; per-host parallel block writing over a
-        shared filesystem is the designed extension (docs/SCALING.md).
+        the unchanged block codec via a host-materialized facade.
+        Multi-PROCESS meshes take the shard-parallel path instead
+        (:meth:`_save_multiprocess`): per-process block scatter-writes
+        over a shared filesystem + one proc-0 shadow commit.
         Reference: hnsw_index.cpp:502-546; Consolidated Proposal:188-211.
         """
         from ..store.checkpoint import save_index
@@ -984,10 +984,7 @@ class GlobalShardedIndex:
         if not self._distributed:
             return save_index(self.coordinator, directory, chunk_bytes)
         if jax.process_count() > 1:
-            raise NotImplementedError(
-                "multi-process checkpoint of a distributed-built index is "
-                "not wired: each process addresses only its own shards"
-            )
+            return self._save_multiprocess(directory)
         coord = self.coordinator
         stacked = self._stacked
         def pull_host(f):
@@ -1011,6 +1008,179 @@ class GlobalShardedIndex:
             )
         )
         return info
+
+    def _save_multiprocess(self, directory) -> dict:
+        """Shard-parallel checkpoint over a MULTI-PROCESS mesh: each
+        process encodes + scatter-writes only the block rows of its own
+        (addressable) shards into the shared ``graph.lmd``; process 0
+        commits the shadow lookup/metadata once. Requires a shared
+        filesystem (the normal checkpoint arrangement). Protocol:
+
+          1. proc 0 creates/truncates the file, marks it dirty; barrier.
+          2. every proc writes its owned block ranges (disjoint offsets)
+             and drops a per-process CRC sidecar; barrier.
+          3. proc 0 finalizes the header (truncate to high_water), merges
+             the CRC sidecars, and runs the transactional shadow commit.
+
+        Always a full (non-incremental) rewrite — the per-block dirty
+        flags live shard-local and a cross-process dirty union is not
+        worth the coordination for checkpoints.
+        Reference: hnsw_index.cpp:502-546; Consolidated Proposal:188-211.
+        """
+        from pathlib import Path
+
+        from jax.experimental import multihost_utils
+
+        from ..store.block_codec import encode_blocks, resolve_layout
+        from ..store.checkpoint import _config_to_dict as _save_config_dict
+        from ..store.file_service import open_block_file
+        from ..store.shadow import ShadowStorageService
+        from ..ops.quantize import i4_packed_from_planar_np
+
+        coord = self.coordinator
+        directory = Path(directory)
+        layout = resolve_layout(coord.config)
+        hw = coord.allocator.high_water
+        pidx = jax.process_index()
+        stacked = self._stacked
+        S = self.n_shards
+        c_local = int(stacked.vectors.shape[1])
+        et = coord.params.edge_type
+        slot_rowids = coord._slot_rowids
+
+        if pidx == 0:
+            directory.mkdir(parents=True, exist_ok=True)
+            bf = open_block_file(
+                directory / "graph.lmd", layout.block_size, create=True
+            )
+            bf.mark_dirty(True)
+            bf.truncate(hw)
+            bf.sync()
+            bf.close()
+        multihost_utils.sync_global_devices("gsi_save_created")
+
+        # Owned shards: leading-dim index g of each addressable block.
+        owned = sorted(
+            int(s.index[0].start)
+            for s in stacked.vectors.addressable_shards
+        )
+        local_of = {
+            int(s.index[0].start): i
+            for i, s in enumerate(stacked.vectors.addressable_shards)
+        }
+
+        def shard_rows(field, g):
+            return np.asarray(
+                field.addressable_shards[local_of[g]].data
+            )[0]
+
+        bf = open_block_file(
+            directory / "graph.lmd", layout.block_size, create=False
+        )
+        crc_idx: list[np.ndarray] = []
+        crc_val: list[np.ndarray] = []
+        blocks_written = 0
+        try:
+            for g in owned:
+                lo = g * c_local
+                n_rows = min(hw - lo, c_local)
+                if n_rows <= 0:
+                    continue
+                vectors = shard_rows(stacked.vectors, g)[:n_rows]
+                neighbors = shard_rows(stacked.neighbors, g)[:n_rows]
+                valid = shard_rows(stacked.valid, g)[:n_rows]
+                nbr_rowids = np.where(
+                    neighbors >= 0,
+                    slot_rowids[np.maximum(neighbors, 0)],
+                    np.int64(INVALID_ROW_ID),
+                )
+                nbr_rowids = np.where(
+                    valid[:, None], nbr_rowids, np.int64(INVALID_ROW_ID)
+                )
+                kw = {}
+                if et.name == "TERNARY":
+                    kw["edge_pos"] = shard_rows(stacked.edge_pos, g)[:n_rows]
+                    kw["edge_neg"] = shard_rows(stacked.edge_neg, g)[:n_rows]
+                elif et.name == "INT8":
+                    kw["edge_i8"] = shard_rows(stacked.edge_i8, g)[:n_rows]
+                    kw["edge_scale"] = shard_rows(
+                        stacked.edge_scale, g
+                    )[:n_rows]
+                elif et.name == "INT4":
+                    kw["edge_i4"] = i4_packed_from_planar_np(
+                        shard_rows(stacked.edge_i4, g)[:n_rows],
+                        coord.config.dimensions,
+                    )
+                    kw["edge_scale"] = shard_rows(
+                        stacked.edge_scale, g
+                    )[:n_rows]
+                elif et.name in ("FLOAT32", "FLOAT16"):
+                    kw["edge_f32"] = shard_rows(stacked.edge_f32, g)[:n_rows]
+                elif et.name == "FLOAT1BIT":
+                    kw["edge_pos"] = shard_rows(stacked.edge_pos, g)[:n_rows]
+                blocks = encode_blocks(
+                    coord.config, vectors, nbr_rowids, **kw
+                )
+                blocks[~valid] = 0
+                idx = np.arange(lo, lo + n_rows, dtype=np.int64)
+                bf.write_blocks_at(idx, blocks)
+                crc_idx.append(idx)
+                crc_val.append(bf.crc32_rows(blocks))
+                blocks_written += n_rows
+            bf.sync()
+        finally:
+            bf.close()
+        np.savez(
+            directory / f"crc_part{pidx}.npz",
+            idx=np.concatenate(crc_idx) if crc_idx else np.empty(0, np.int64),
+            crc=np.concatenate(crc_val) if crc_val else np.empty(0, np.uint32),
+        )
+        multihost_utils.sync_global_devices("gsi_save_written")
+
+        if pidx == 0:
+            bf = open_block_file(
+                directory / "graph.lmd", layout.block_size, create=False
+            )
+            try:
+                bf.truncate(hw)  # deterministic header after racing writers
+                bf.sync()
+                checksums = {}
+                for p in range(jax.process_count()):
+                    part = np.load(directory / f"crc_part{p}.npz")
+                    for b, v in zip(part["idx"], part["crc"]):
+                        checksums[int(b)] = int(v)
+                shadow = ShadowStorageService(directory)
+                try:
+                    shadow.clear_staged_checksums()
+                    shadow.commit_checkpoint(
+                        lookup=dict(coord.allocator.rowid_to_slot),
+                        tombstones=coord.allocator.pending_deletion,
+                        checksums=checksums,
+                        metadata={
+                            "format_version": 3,
+                            "config": _save_config_dict(coord.config),
+                            "entry_rowid": coord.entry_rowid,
+                            "count": coord.count,
+                            "high_water": hw,
+                            "free_slots": coord.allocator.free_slots,
+                            "broken": False,
+                        },
+                        incremental=False,
+                    )
+                finally:
+                    shadow.close()
+                bf.mark_dirty(False)
+            finally:
+                bf.close()
+            for p in range(jax.process_count()):
+                (directory / f"crc_part{p}.npz").unlink(missing_ok=True)
+        multihost_utils.sync_global_devices("gsi_save_committed")
+        coord.dirty = False
+        return {
+            "blocks_written": blocks_written,
+            "incremental": False,
+            "high_water": hw,
+        }
 
     def search(
         self,
@@ -1071,11 +1241,6 @@ def load_global_sharded(
     config = st["config"]
     mesh = mesh if mesh is not None else _make_mesh()
     S = int(mesh.devices.size)
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "multi-process load of a distributed index is not wired: each "
-            "process addresses only its own shards"
-        )
 
     # Replicated Coordinator stays at minimum capacity (no graph arrays on
     # one device); allocator/rowid state is fully restored.
@@ -1091,9 +1256,15 @@ def load_global_sharded(
     mesh_devs = list(mesh.devices.flat)
 
     def put(a):
+        # Multi-process meshes: every process decodes the shared file but
+        # places ONLY its local devices' row blocks (distribute()'s
+        # assembly pattern) — no host ever transfers another host's rows.
         rows = _stack_rows(a, S)
         local = [
-            jax.device_put(rows[g][None], d) for g, d in enumerate(mesh_devs)
+            jax.device_put(rows[g][None], d)
+            for g, d in enumerate(mesh_devs)
+            if jax.process_count() == 1
+            or d.process_index == jax.process_index()
         ]
         return jax.make_array_from_single_device_arrays(
             rows.shape, sharding, local

@@ -92,11 +92,34 @@ def main() -> int:
     )
     assert exact, (ids_single.tolist(), ids_global.tolist())
 
+    # Multi-process checkpoint: distributed build (row-sharded across the
+    # two processes) -> per-process block scatter-writes + proc-0 shadow
+    # commit -> every process re-loads from the shared directory -> search
+    # must be ID/distance-exact vs the pre-save index.
+    from duckdb_lm_diskann_tpu.parallel.global_graph import (
+        load_global_sharded,
+    )
+
+    ckpt = os.path.join(os.path.dirname(out_path), "gsi_ckpt")
+    coord_d = Coordinator(cfg, initial_capacity=8)
+    gidx_d = GlobalShardedIndex(coord_d)
+    gidx_d.distributed_build(list(range(n)), data, max_batch=64)
+    info = gidx_d.save(ckpt)
+    assert info["blocks_written"] > 0
+    ids_d0, dist_d0 = gidx_d.search(queries, 5, l_search=64)
+    g2 = load_global_sharded(ckpt)
+    ids_d1, dist_d1 = g2.search(queries, 5, l_search=64)
+    ckpt_exact = bool(
+        np.array_equal(ids_d0, ids_d1) and np.array_equal(dist_d0, dist_d1)
+    )
+    assert ckpt_exact, (ids_d0.tolist(), ids_d1.tolist())
+
     result = {
         "proc": proc_id,
         "devices": jax.device_count(),
         "overlap": float(overlap),
         "global_exact": exact,
+        "ckpt_exact": ckpt_exact,
         "ids": ids.tolist(),
     }
     if proc_id == 0:

@@ -64,3 +64,6 @@ def test_multihost_sharded_search(tmp_path):
     assert result["overlap"] >= 0.9
     # Cross-process global-graph mode returned single-chip-identical ids.
     assert result["global_exact"] is True
+    # Shard-parallel checkpoint (per-process block writes, proc-0 commit)
+    # round-tripped ID-exact across processes.
+    assert result["ckpt_exact"] is True
