@@ -195,6 +195,7 @@ def run_config(
         params_ = coord.params if params_ is None else params_
         L_s = L if L_s is None else max(L_s, k)
         batch_b = batch if batch_b is None else batch_b
+        batch_b = min(batch_b, n_queries)  # BENCH_QUERIES < BENCH_BATCH
         nb = max(n_queries // batch_b, 1)
         nq = nb * batch_b
         qs = q_dev[:nq].reshape(nb, batch_b, dims)
@@ -417,8 +418,10 @@ def run_config(
     if adaptive and _remaining() > 180:
         from duckdb_lm_diskann_tpu.core.searcher import pick_adaptive_seeds
 
-        step = max(n // 4096, 1)
-        sample = jnp.asarray(np.arange(0, n, step, dtype=np.int32)[:4096])
+        m = min(4096, n)
+        sample = jnp.asarray(
+            ((np.arange(m, dtype=np.int64) * n) // m).astype(np.int32)
+        )
         nb = max(total_q // batch, 1)
         seeds_all = pick_adaptive_seeds(
             coord.arrays.vectors, q_dev[:total_q], sample,

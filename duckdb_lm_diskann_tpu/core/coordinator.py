@@ -281,7 +281,8 @@ class Coordinator:
             ]
             from .builder import _buffers_deleted
 
-            if touched and not _buffers_deleted(self.arrays):
+            lost = _buffers_deleted(self.arrays)
+            if touched and not lost:
                 self._ever_tombstoned = True
                 self.arrays = self.arrays._replace(
                     valid=self.arrays.valid.at[
@@ -291,6 +292,17 @@ class Coordinator:
             for r in rowids:
                 if r in self.allocator.rowid_to_slot:
                     self.allocator.free(r)
+            if lost:
+                # The fused insert program donated the buffers and failed
+                # mid-flight: there is no last-good intermediate state to
+                # roll back onto (the unfused chain attaches partial_arrays;
+                # one fused program cannot). Say so explicitly instead of
+                # letting the next operation fail on deleted buffers.
+                raise RuntimeError(
+                    "insert failed after buffer donation; in-memory index "
+                    "state was lost — reload from the last checkpoint "
+                    f"(original error: {exc})"
+                ) from exc
             raise
         # Copy-on-write: live ReadViews keep the pre-mutation table.
         sr = self._slot_rowids.copy()
@@ -658,8 +670,12 @@ class Coordinator:
         cap = view.arrays.capacity
         live = np.nonzero(view.slot_rowids[:cap] != INVALID_ROW_ID)[0]
         m = max(min(seed_sample, len(live)), 1)
-        step = max(len(live) // m, 1)
-        sample = live[step // 2 :: step][:m].astype(np.int32)
+        # Even coverage over the WHOLE live range: live[(i*len)//m] — a
+        # fixed-stride slice (len//m) leaves the insertion-order tail
+        # (whole clusters, on clustered corpora) permanently unsampled.
+        sample = live[(np.arange(m, dtype=np.int64) * len(live)) // m].astype(
+            np.int32
+        )
         return pick_adaptive_seeds(
             view.arrays.vectors,
             q_dev,

@@ -585,22 +585,25 @@ class GlobalShardedIndex:
         params = coord.params
         R = params.r
 
+        Dn = len(del_slots)
+        # Pad the jitted gather/tombstone shapes like the repair rounds:
+        # every distinct delete-batch size would otherwise compile two new
+        # shard_map programs (minutes per shape on remote-compile backends).
+        dpad0 = _pow2_at_least(Dn, 256)
+        del_pad0 = np.full(dpad0, -1, np.int32)
+        del_pad0[:Dn] = del_slots
+        del_dev0 = jnp.asarray(del_pad0)
         nbr_rows = np.asarray(
             _g_gather_rows(
-                self._stacked, jnp.asarray(del_slots), mesh=self.mesh,
-                field="neighbors",
+                self._stacked, del_dev0, mesh=self.mesh, field="neighbors",
             )
-        )
-        Dn = len(del_slots)
+        )[:Dn]
         tgt = nbr_rows.ravel()
         di = np.repeat(np.arange(Dn, dtype=np.int32), R)
         keep_pair = (tgt >= 0) & ~np.isin(tgt, del_slots)
         tgt, di = tgt[keep_pair], di[keep_pair]
         if len(tgt):
-            dpad = _pow2_at_least(Dn, 256)
-            del_pad = np.full(dpad, -1, np.int32)
-            del_pad[:Dn] = del_slots
-            del_dev = jnp.asarray(del_pad)
+            del_dev = del_dev0
             order = np.lexsort((di, tgt))
             tgt, di = tgt[order], di[order]
             first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
@@ -624,7 +627,7 @@ class GlobalShardedIndex:
 
         coord._ever_tombstoned = True
         self._stacked = _g_tombstone(
-            self._stacked, jnp.asarray(del_slots), mesh=self.mesh
+            self._stacked, del_dev0, mesh=self.mesh
         )
 
         if len(tgt):
@@ -662,9 +665,18 @@ class GlobalShardedIndex:
         """(neighbors [C, R], valid [C]) pulled to HOST from the sharded
         arrays — used by the rare host-side passes (entry fallback, the
         reachability BFS). Host RAM holds the full tables comfortably at
-        any single-machine scale; per-DEVICE HBM stays 1/S."""
-        nbrs = np.asarray(self._stacked.neighbors)
-        valid = np.asarray(self._stacked.valid)
+        any single-machine scale; per-DEVICE HBM stays 1/S. Multi-process
+        meshes reassemble via process_allgather (np.asarray on an array
+        spanning non-addressable devices raises)."""
+        nbrs = self._stacked.neighbors
+        valid = self._stacked.valid
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            nbrs = multihost_utils.process_allgather(nbrs, tiled=True)
+            valid = multihost_utils.process_allgather(valid, tiled=True)
+        nbrs = np.asarray(nbrs)
+        valid = np.asarray(valid)
         return nbrs.reshape(-1, nbrs.shape[-1]), valid.reshape(-1)
 
     def _select_fallback_entry_distributed(self) -> tuple[int, int]:
@@ -918,6 +930,10 @@ class GlobalShardedIndex:
         sr = coord._slot_rowids.copy()
         sr[slots] = np.asarray(rowids, np.int64)
         coord._slot_rowids = sr
+        if coord.shadow_service is not None:
+            # Delta log for crash recovery, like the single-chip insert
+            # (and this class's delete path).
+            coord.shadow_service.log_insert_batch(rowids, slots.tolist())
         coord.dirty = True
 
     def distribute(self) -> GraphArrays:
@@ -1057,6 +1073,13 @@ class GlobalShardedIndex:
             bf.truncate(hw)
             bf.sync()
             bf.close()
+            # Drop any stale staged CRCs from a previous (crashed) save so
+            # the staged table ends up holding exactly this save's blocks.
+            shadow0 = ShadowStorageService(directory)
+            try:
+                shadow0.clear_staged_checksums()
+            finally:
+                shadow0.close()
         multihost_utils.sync_global_devices("gsi_save_created")
 
         # Owned shards: leading-dim index g of each addressable block.
@@ -1077,8 +1100,13 @@ class GlobalShardedIndex:
         bf = open_block_file(
             directory / "graph.lmd", layout.block_size, create=False
         )
-        crc_idx: list[np.ndarray] = []
-        crc_val: list[np.ndarray] = []
+        # Every process stages its blocks' CRCs in the shared shadow store
+        # (WAL sqlite; short disjoint-key transactions) BEFORE writing the
+        # blocks — the per-block crash invariant: at any instant every
+        # on-disk block matches its committed OR staged CRC, so a save
+        # killed mid-write leaves a recoverable file, same as the
+        # single-chip chunked staging.
+        shadow_p = ShadowStorageService(directory)
         blocks_written = 0
         try:
             for g in owned:
@@ -1123,18 +1151,13 @@ class GlobalShardedIndex:
                 )
                 blocks[~valid] = 0
                 idx = np.arange(lo, lo + n_rows, dtype=np.int64)
+                shadow_p.stage_checksums(idx, bf.crc32_rows(blocks))
                 bf.write_blocks_at(idx, blocks)
-                crc_idx.append(idx)
-                crc_val.append(bf.crc32_rows(blocks))
                 blocks_written += n_rows
             bf.sync()
         finally:
             bf.close()
-        np.savez(
-            directory / f"crc_part{pidx}.npz",
-            idx=np.concatenate(crc_idx) if crc_idx else np.empty(0, np.int64),
-            crc=np.concatenate(crc_val) if crc_val else np.empty(0, np.uint32),
-        )
+            shadow_p.close()
         multihost_utils.sync_global_devices("gsi_save_written")
 
         if pidx == 0:
@@ -1144,14 +1167,14 @@ class GlobalShardedIndex:
             try:
                 bf.truncate(hw)  # deterministic header after racing writers
                 bf.sync()
-                checksums = {}
-                for p in range(jax.process_count()):
-                    part = np.load(directory / f"crc_part{p}.npz")
-                    for b, v in zip(part["idx"], part["crc"]):
-                        checksums[int(b)] = int(v)
                 shadow = ShadowStorageService(directory)
                 try:
-                    shadow.clear_staged_checksums()
+                    # Every block was rewritten and staged by its owner:
+                    # the staged table IS the new committed checksum set.
+                    checksums = {
+                        int(b): int(v)
+                        for b, v in shadow.load_staged_checksums().items()
+                    }
                     shadow.commit_checkpoint(
                         lookup=dict(coord.allocator.rowid_to_slot),
                         tombstones=coord.allocator.pending_deletion,
@@ -1172,8 +1195,6 @@ class GlobalShardedIndex:
                 bf.mark_dirty(False)
             finally:
                 bf.close()
-            for p in range(jax.process_count()):
-                (directory / f"crc_part{p}.npz").unlink(missing_ok=True)
         multihost_utils.sync_global_devices("gsi_save_committed")
         coord.dirty = False
         return {
