@@ -257,6 +257,9 @@ class LmDiskannIndex:
                     l_search=L,
                     allowed_rowids=state.allowed_rowids,
                     view=view,
+                    adaptive_seeds=int(
+                        self.settings.get_option("lm_diskann_adaptive_seeds")
+                    ),
                 )
             keep = ids[0] >= 0
             state.row_ids = ids[0][keep]
@@ -285,7 +288,10 @@ class LmDiskannIndex:
         L = self.settings.effective_l_search(self.config.l_search, l_search)
         with self._reader() as view:
             return self.coordinator.search(
-                np.atleast_2d(queries), k, l_search=L, view=view
+                np.atleast_2d(queries), k, l_search=L, view=view,
+                adaptive_seeds=int(
+                    self.settings.get_option("lm_diskann_adaptive_seeds")
+                ),
             )
 
     def snapshot(self):

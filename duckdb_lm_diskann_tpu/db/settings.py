@@ -25,6 +25,12 @@ _DEFAULTS: dict[str, object] = {
     # reproduces the reference's pull-up-only behavior (fewer-than-k
     # results under selective filters, hnsw_optimize_scan.cpp:160-200).
     "lm_diskann_filter_pushdown": True,
+    # Query-adaptive beam seeding (searcher.pick_adaptive_seeds): >0 seeds
+    # each query at its N nearest nodes of a stratified live sample instead
+    # of the global entry point — the clustered-corpus entry fix (+2.4%
+    # recall@10 on the HARD stressor). 0 (default) keeps the reference's
+    # single-global-entry semantics.
+    "lm_diskann_adaptive_seeds": 0,
     # Crash-replay backlog bound: when a persisted index's un-merged delta
     # log exceeds this many entries after a DML batch, a checkpoint is
     # triggered inline (docs/DURABILITY.md derives the recovery-time bound

@@ -354,3 +354,38 @@ def test_adaptive_seeds_search(rng):
     ids_u, d_u = coord.search(q8, 3, adaptive_seeds=2)
     np.testing.assert_array_equal(ids_b, ids_u)
     np.testing.assert_array_equal(d_b, d_u)
+
+
+def test_adaptive_seed_sample_covers_live_tail(rng):
+    """Regression (round-4 review): the seed sample must span the WHOLE
+    live range. The original fixed-stride slice covered only the first
+    m*floor(len/m) live slots, so with len(live) < 2*seed_sample the
+    insertion-order tail — whole clusters, on clustered corpora — could
+    never be chosen as a seed."""
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.common.types import VectorType
+
+    n_a, n_b, dims = 400, 300, 8
+    data = np.concatenate([
+        rng.standard_normal((n_a, dims)).astype(np.float32),
+        rng.standard_normal((n_b, dims)).astype(np.float32) + 40.0,
+    ])
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    coord.bulk_build(list(range(n_a + n_b)), data, max_batch=64)
+
+    import jax.numpy as jnp2
+
+    view = coord.capture_view()
+    # seed_sample (512) > len(live)/2 (700): the buggy stride sampled only
+    # slots [0, 512) and this cluster-B query could never seed in B.
+    seeds = coord._pick_adaptive(
+        view, jnp2.asarray(data[n_a + 250 : n_a + 251]), 2, 512, 32
+    )
+    assert (np.asarray(seeds) >= n_a).all(), np.asarray(seeds).tolist()

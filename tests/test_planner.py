@@ -421,3 +421,19 @@ def test_merge_projections_collapses_nested(db_and_table):
     res.pop("_table", None)
     assert set(res) == {"row_ids", "distance", "label"}
     assert res["row_ids"][0] == 2
+
+
+def test_adaptive_seeds_session_setting(db_and_table):
+    """The lm_diskann_adaptive_seeds session option routes scans through
+    query-adaptive seeding (searcher.pick_adaptive_seeds); results remain
+    exact self-matches and the option is per-connection like the other
+    settings tiers."""
+    db, t, data = db_and_table
+    db.create_index("idx", t, "vec", options={"metric": "l2", "r": 16,
+                                              "l_insert": 32, "l_search": 64})
+    db.set_option("lm_diskann_adaptive_seeds", 2)
+    try:
+        res = db.knn(t, "vec", data[11], 3, metric="l2")
+        assert res["row_ids"][0] == 11
+    finally:
+        db.set_option("lm_diskann_adaptive_seeds", 0)
