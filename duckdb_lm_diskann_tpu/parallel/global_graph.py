@@ -661,6 +661,12 @@ class GlobalShardedIndex:
         self._needs_repair = True
         return len(present)
 
+    def update(self, rowid: int, vector) -> None:
+        """Update = delete + re-insert (Coordinator::Update semantics,
+        Coordinator.cpp:226-237), on whichever path the index is in."""
+        self.delete([int(rowid)])
+        self.insert([int(rowid)], np.atleast_2d(np.asarray(vector)))
+
     def _host_tables(self) -> tuple[np.ndarray, np.ndarray]:
         """(neighbors [C, R], valid [C]) pulled to HOST from the sharded
         arrays — used by the rare host-side passes (entry fallback, the

@@ -204,6 +204,11 @@ class ShardedIndex:
         self._stacked = stacked
         return stacked
 
+    def update(self, rowid: int, vector) -> None:
+        """Update = delete + re-insert (Coordinator::Update semantics)."""
+        self.delete([int(rowid)])
+        self.insert([int(rowid)], np.atleast_2d(np.asarray(vector)))
+
     # ----------------------------------------------------------------- #
     # persistence (VERDICT r3 item 3): shard-parallel directories
 

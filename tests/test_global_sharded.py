@@ -381,3 +381,24 @@ def test_distributed_crash_recovery_replays_deltas(rng, tmp_path):
     assert not getattr(g3.coordinator, "needs_recovery", False)
     ids3, _ = g3.search(data[n : n + 4], 1, l_search=64)
     np.testing.assert_array_equal(ids3, ids)
+
+
+def test_distributed_update(rng):
+    """Update = delete + re-insert stays on the row-sharded path after a
+    distributed build, and the updated vector is immediately findable."""
+    n, d = 200, 16
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=48,
+        dimensions=d, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    gidx = GlobalShardedIndex(Coordinator(cfg, initial_capacity=8),
+                              mesh=make_mesh(8))
+    gidx.distributed_build(list(range(n)), data, max_batch=64)
+    new_vec = rng.standard_normal(d).astype(np.float32) + 30.0
+    gidx.update(7, new_vec)
+    assert gidx._distributed
+    ids, _ = gidx.search(new_vec[None, :], 1, l_search=48)
+    assert ids[0, 0] == 7

@@ -176,3 +176,27 @@ def test_incremental_restack_refreshes_only_dirty_shards(rng):
     # search still correct after the incremental restack
     ids, _ = idx.search(data[:4], 3)
     assert (ids[:, 0] == np.arange(4)).all()
+
+
+def test_sharded_update(rng):
+    """Update = delete + re-insert on the disjoint-shard index."""
+    from duckdb_lm_diskann_tpu.common.types import (
+        EdgeType, MetricType, VectorType,
+    )
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.parallel.mesh import make_mesh
+    from duckdb_lm_diskann_tpu.parallel.sharded import ShardedIndex
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=48,
+        dimensions=8, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    data = rng.standard_normal((160, 8)).astype(np.float32)
+    idx = ShardedIndex(cfg, mesh=make_mesh(8))
+    idx.build(np.arange(160), data, max_batch=64)
+    new_vec = rng.standard_normal(8).astype(np.float32) + 30.0
+    idx.update(7, new_vec)
+    ids, _ = idx.search(new_vec[None, :], 1, l_search=48)
+    assert ids[0, 0] == 7
