@@ -173,6 +173,11 @@ def main():
             maxnbrs=6, insert_l=16, search_l=24, ops_fn=ops_lifecycle,
         )
         run_scenario(
+            exe, "cos_lifecycle_5k", n=5000, dims=8, metric="cos", seed=7007,
+            maxnbrs=8, insert_l=20, search_l=32, ops_fn=ops_lifecycle_big,
+            n_queries=32, adj_every=0, vec_lo=-600, vec_hi=601,
+        )
+        run_scenario(
             exe, "l2_lifecycle_5k", n=5000, dims=8, metric="l2", seed=6006,
             maxnbrs=8, insert_l=20, search_l=32, ops_fn=ops_lifecycle_big,
             n_queries=32, adj_every=0,

@@ -117,7 +117,7 @@ def oracle_graph_from_snapshot(m, vecs, snap):
     return og
 
 
-@pytest.mark.parametrize("name", BUILD_TRACES + ["l2_lifecycle_5k"])
+@pytest.mark.parametrize("name", BUILD_TRACES + ["l2_lifecycle_5k", "cos_lifecycle_5k"])
 def test_engine_spec_oracle_matches_reference_search(name):
     """Layer 2: tests/oracle.py search == reference C search (visit order
     AND top-k) on the zombie-free post-build graph — including the
@@ -136,7 +136,7 @@ def test_engine_spec_oracle_matches_reference_search(name):
         assert topk == op["topk"]
 
 
-@pytest.mark.parametrize("name", BUILD_TRACES + ["l2_lifecycle_5k"])
+@pytest.mark.parametrize("name", BUILD_TRACES + ["l2_lifecycle_5k", "cos_lifecycle_5k"])
 def test_engine_matches_reference_search(name):
     """Layer 3: the jitted engine beam_search == reference C search (visit
     order and top-k), up to the 5,000-row scenario."""
