@@ -402,3 +402,26 @@ def test_distributed_update(rng):
     assert gidx._distributed
     ids, _ = gidx.search(new_vec[None, :], 1, l_search=48)
     assert ids[0, 0] == 7
+
+
+def test_global_sharded_int8_node_vectors(rng):
+    """INT8 NODE vectors (ARRAY(TINYINT) columns) through the row-sharded
+    engine: the psum row exchange runs in the int8 storage dtype (4x less
+    ICI traffic) and must stay ID/distance-exact vs single chip."""
+    n, d = 300, 16
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=64,
+        dimensions=d, node_vector_type=VectorType.INT8,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    data = rng.integers(-100, 100, (n, d)).astype(np.float32)
+    coord = Coordinator(cfg, initial_capacity=512)
+    coord.bulk_build(list(range(n)), data)
+    queries = rng.integers(-100, 100, (8, d)).astype(np.float32)
+    ids_1, d_1 = coord.search(queries, 5, l_search=64)
+
+    gidx = GlobalShardedIndex(coord, mesh=make_mesh(8))
+    ids_s, d_s = gidx.search(queries, 5, l_search=64)
+    np.testing.assert_array_equal(ids_s, ids_1)
+    np.testing.assert_array_equal(d_s, d_1)
