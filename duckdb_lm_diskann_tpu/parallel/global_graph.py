@@ -1299,12 +1299,8 @@ def load_global_sharded(
 
     gidx._stacked = GraphArrays(*(put(a) for a in host))
     gidx._distributed = True
-
-    entry_rowid = st["entry_rowid"]
-    if entry_rowid in st["lookup"]:
-        coord.entry_slot = st["lookup"][entry_rowid]
-        coord.entry_rowid = entry_rowid
-    elif st["lookup"]:
+    # Entry fallback needs the placed sharded arrays: restore it here.
+    if st["entry_rowid"] not in st["lookup"] and st["lookup"]:
         coord.entry_slot, coord.entry_rowid = (
             gidx._select_fallback_entry_distributed()
         )

@@ -314,7 +314,7 @@ def _load_host_state(
         rowid_keys = np.asarray(sorted(lookup), np.int64)
         slot_vals = np.asarray([lookup[int(r)] for r in rowid_keys], np.int32)
         nbr_rowids = decoded["neighbor_rowids"]  # [hw, R]
-        if hw:
+        if hw and len(rowid_keys):
             pos = np.searchsorted(rowid_keys, nbr_rowids)
             pos = np.clip(pos, 0, max(len(rowid_keys) - 1, 0))
             hit = (
@@ -324,7 +324,9 @@ def _load_host_state(
             )
             nbr_slots = np.where(hit, slot_vals[pos], -1).astype(np.int32)
         else:
-            nbr_slots = np.empty((0, config.r), np.int32)
+            # hw rows with an empty lookup = a checkpoint taken after every
+            # row was deleted: blocks exist, nothing resolves.
+            nbr_slots = np.full((hw, config.r), -1, np.int32)
 
         vec_dtype = (
             np.int8
@@ -393,8 +395,15 @@ def _host_graph_arrays(params, cap: int, st: dict) -> list[np.ndarray]:
     return out
 
 
-def _restore_coordinator_meta(coord: Coordinator, st: dict, cap: int) -> None:
-    """Fill allocator / rowid maps / recovery flags from host state."""
+def _restore_coordinator_meta(
+    coord: Coordinator, st: dict, cap: int, entry_fallback=None
+) -> None:
+    """Fill allocator / rowid maps / recovery flags from host state.
+    ``entry_fallback``: zero-arg callable returning (slot, rowid) when the
+    persisted entry rowid is gone — loaders pass their engine-appropriate
+    re-selection (single-chip vs row-sharded); it runs AFTER the allocator
+    state is in place. When it needs the graph arrays, callers instead
+    leave it None and restore the entry themselves after placing arrays."""
     sr = np.full(cap, INVALID_ROW_ID, np.int64)
     for rowid, slot in st["lookup"].items():
         coord.allocator.rowid_to_slot[rowid] = slot
@@ -413,6 +422,12 @@ def _restore_coordinator_meta(coord: Coordinator, st: dict, cap: int) -> None:
     coord.dirty = False
     coord.needs_recovery = bool(st["pending"])
     coord.pending_deltas = st["pending"]
+    entry_rowid = st["entry_rowid"]
+    if entry_rowid in st["lookup"]:
+        coord.entry_slot = st["lookup"][entry_rowid]
+        coord.entry_rowid = entry_rowid
+    elif st["lookup"] and entry_fallback is not None:
+        coord.entry_slot, coord.entry_rowid = entry_fallback()
 
 
 def load_index(
@@ -426,12 +441,8 @@ def load_index(
     _restore_coordinator_meta(coord, st, cap)
     host = _host_graph_arrays(coord.params, cap, st)
     coord.arrays = GraphArrays(*(jnp.asarray(a) for a in host))
-
-    entry_rowid = st["entry_rowid"]
-    if entry_rowid in lookup:
-        coord.entry_slot = lookup[entry_rowid]
-        coord.entry_rowid = entry_rowid
-    elif lookup:
+    # Entry fallback needs the arrays (degree scan): restore it here.
+    if st["entry_rowid"] not in lookup and lookup:
         coord.entry_slot, coord.entry_rowid = coord._select_fallback_entry()
     return coord
 
@@ -480,11 +491,15 @@ def recover(index, primary, directory: str | os.PathLike) -> int:
     for _seq, op, row_id, _block_id in pending:
         in_run = run_op == op and row_id in run_set
         queued_insert = run_op == "insert" and row_id in run_set
+        queued_delete = run_op == "delete" and row_id in run_set
         applied = row_id in coord.allocator.rowid_to_slot
         if op == "insert":
-            # skip rows already applied (idempotent replay) or duplicated
-            # within the current run
-            if applied or in_run:
+            # Skip rows already applied (idempotent replay) or duplicated
+            # within the current run — UNLESS the row's delete is queued in
+            # the current un-flushed run: then this is the insert half of a
+            # crash-logged update (delete r, insert r) and must re-apply
+            # after the deletes flush, or the update's row is lost.
+            if in_run or (applied and not queued_delete):
                 continue
         else:  # delete: only meaningful if the row exists or is queued
             if in_run or (not applied and not queued_insert):
@@ -499,8 +514,16 @@ def recover(index, primary, directory: str | os.PathLike) -> int:
     coord.pending_deltas = []
     if index is coord:
         save_index(coord, directory)
-    else:
+    elif hasattr(index, "save"):
         index.save(directory)
+    elif hasattr(index, "persist_to_disk"):
+        # db.LmDiskannIndex checkpoints into its own directory.
+        index.persist_to_disk()
+    else:
+        raise TypeError(
+            f"recover(): {type(index).__name__} exposes neither save() nor "
+            "persist_to_disk()"
+        )
     return replayed
 
 

@@ -683,3 +683,59 @@ def test_pending_delta_backlog_triggers_checkpoint(tmp_path, rng):
     db.set_option("lm_diskann_checkpoint_pending_deltas", 0)
     t.insert({"v": rng.standard_normal((12, 8)).astype(np.float32)})
     assert shadow.pending_count() == 12
+
+
+def test_recover_replays_crash_logged_update(tmp_path, rng):
+    """Regression (round-4 review): a crash log containing an UPDATE
+    (delete r, insert r) must re-apply the insert — the old replay skipped
+    it because the row still resolved while its delete sat un-flushed in
+    the current run, permanently dropping the row."""
+    d = tmp_path / "idx"
+    cfg = make_config(metric=MetricType.L2)
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((40, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(40)), data)
+    checkpoint.save_index(coord, d)
+
+    loaded = checkpoint.load_index(d)
+    new_vec = rng.standard_normal(cfg.dimensions).astype(np.float32) + 25.0
+    loaded.pending_deltas = [
+        (0, "delete", 3, None),
+        (1, "insert", 3, None),
+    ]
+    loaded.needs_recovery = True
+
+    class Primary:
+        def get_vectors(self, rows):
+            assert list(rows) == [3]
+            return new_vec[None, :]
+
+    assert checkpoint.recover(loaded, Primary(), d) == 2
+    assert 3 in loaded.allocator.rowid_to_slot
+    ids, _ = loaded.search(new_vec[None, :], 1, l_search=64)
+    assert ids[0, 0] == 3
+    # the post-recovery checkpoint reloads with the updated vector
+    again = checkpoint.load_index(d)
+    ids2, _ = again.search(new_vec[None, :], 1, l_search=64)
+    assert ids2[0, 0] == 3
+
+
+def test_load_after_delete_all(tmp_path, rng):
+    """Regression (round-4 review): a checkpoint whose every row was
+    deleted (high_water > 0, empty lookup) must load, not IndexError in
+    the neighbor-rowid translation."""
+    d = tmp_path / "idx"
+    cfg = make_config(metric=MetricType.L2)
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((12, cfg.dimensions)).astype(np.float32)
+    coord.bulk_build(list(range(12)), data)
+    coord.delete(list(range(12)))
+    checkpoint.save_index(coord, d)
+
+    loaded = checkpoint.load_index(d)
+    assert loaded.count == 0
+    ids, _ = loaded.search(data[:2], 3, l_search=32)
+    assert (ids == -1).all()
+    loaded.insert([100], data[:1])  # the empty index is still usable
+    ids2, _ = loaded.search(data[:1], 1, l_search=32)
+    assert ids2[0, 0] == 100
