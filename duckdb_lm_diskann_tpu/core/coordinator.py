@@ -171,6 +171,7 @@ class Coordinator:
         snap._ever_tombstoned = self._ever_tombstoned
         snap.last_search_stats = None
         snap.shadow_service = None
+        snap.donate_buffers = False  # never donate a snapshot's buffers
         snap._frozen = True
         return snap
 
@@ -292,6 +293,20 @@ class Coordinator:
             for r in rowids:
                 if r in self.allocator.rowid_to_slot:
                     self.allocator.free(r)
+            # The rolled-back batch may have held the bootstrap entry
+            # point (first-ever insert): a stale entry_slot >= 0 with an
+            # empty graph would skip the bootstrap on the next insert and
+            # brick the ramp (step = min(n, count=0, ...) = 0).
+            if (
+                self.entry_slot >= 0
+                and self.entry_rowid not in self.allocator.rowid_to_slot
+            ):
+                if self.allocator.slot_to_rowid and not lost:
+                    self.entry_slot, self.entry_rowid = (
+                        self._select_fallback_entry()
+                    )
+                else:
+                    self.entry_slot, self.entry_rowid = -1, INVALID_ROW_ID
             if lost:
                 # The fused insert program donated the buffers and failed
                 # mid-flight: there is no last-good intermediate state to
@@ -776,6 +791,7 @@ class Coordinator:
             refresh_edge_codes_nodonate,
         )
 
+        self._check_mutable()
         refresh_fn = (
             refresh_edge_codes
             if self.donate_buffers

@@ -246,7 +246,19 @@ class SlotAllocator:
         return slot
 
     def allocate_batch(self, rowids) -> np.ndarray:
-        return np.asarray([self.allocate(int(r)) for r in rowids], np.int32)
+        """Atomic batch allocation: validate EVERY rowid (against the map
+        and within the batch) before allocating any, so a duplicate
+        mid-batch cannot leave earlier rowids permanently mapped to ghost
+        slots that no rollback knows about (round-4 review finding)."""
+        rowids = [int(r) for r in rowids]
+        seen: set[int] = set()
+        for r in rowids:
+            if r in self.rowid_to_slot:
+                raise KeyError(f"row id {r} already in index")
+            if r in seen:
+                raise KeyError(f"row id {r} duplicated in batch")
+            seen.add(r)
+        return np.asarray([self.allocate(r) for r in rowids], np.int32)
 
     def free(self, rowid: int) -> int:
         """Unmap a row id; its slot joins the deletion queue."""

@@ -272,7 +272,9 @@ def _global_store(stacked: GraphArrays, slots, vecs, *, mesh) -> GraphArrays:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "params", "full_visited", "recip_rounds"),
+    static_argnames=(
+        "mesh", "params", "full_visited", "recip_rounds", "all_valid"
+    ),
     donate_argnums=(0,),
 )
 def _global_insert_step(
@@ -285,6 +287,7 @@ def _global_insert_step(
     params: GraphParams,
     full_visited: bool,
     recip_rounds: int,
+    all_valid: bool = True,
 ) -> GraphArrays:
     """One whole batched Vamana insert over ROW-SHARDED arrays — the
     device-scaled build path (SURVEY §7.2 M5). The UNCHANGED single-graph
@@ -312,9 +315,9 @@ def _global_insert_step(
             params=p,
             full_visited=full_visited,
             recip_rounds=recip_rounds,
-            # fresh build, no tombstones: same flag the single-chip bulk
-            # path passes (coordinator.insert all_valid)
-            all_valid=True,
+            # same flag the single-chip path passes: True only while no
+            # slot was ever tombstoned (coordinator.insert all_valid)
+            all_valid=all_valid,
         )
         # Deferred edge-code refresh in the same bounded chunks as
         # insert_batch (per-shard caches are 1/S, so one traced program
@@ -897,6 +900,7 @@ class GlobalShardedIndex:
                 params=coord.params,
                 full_visited=step == 1,
                 recip_rounds=1 if step == 1 else _RECIP_ROUNDS,
+                all_valid=not coord._ever_tombstoned,
             )
             offset += step
             graph_size += step
@@ -928,10 +932,29 @@ class GlobalShardedIndex:
                 coord.max_insert_batch,
                 graph_size=coord.count - len(rowids),
             )
-        except Exception:
+        except Exception as exc:
+            # Mirror Coordinator.insert's rollback: earlier batches of
+            # this call may have stored vectors / linked nodes already —
+            # tombstone every touched slot so searches cannot surface
+            # ghost rows; a mid-program failure after donation has no
+            # recoverable state (one fused program per batch).
             for r in rowids:
                 if r in coord.allocator.rowid_to_slot:
                     coord.allocator.free(r)
+            try:
+                lost = bool(self._stacked.vectors.is_deleted())
+            except Exception:  # non-jax leaves: never deleted
+                lost = False
+            if lost:
+                raise RuntimeError(
+                    "distributed insert failed after buffer donation; "
+                    "in-memory index state was lost — reload from the "
+                    f"last checkpoint (original error: {exc})"
+                ) from exc
+            coord._ever_tombstoned = True
+            self._stacked = _g_tombstone(
+                self._stacked, jnp.asarray(slots, jnp.int32), mesh=self.mesh
+            )
             raise
         sr = coord._slot_rowids.copy()
         sr[slots] = np.asarray(rowids, np.int64)
@@ -957,13 +980,22 @@ class GlobalShardedIndex:
         coord = self.coordinator
         S = self.n_shards
         cap = coord.capacity
-        if cap % S:
-            coord._ensure_capacity(((cap // S) + 1) * S)
+        # Non-divisible capacities (non-pow2 meshes): pad host-side to the
+        # next multiple of S with zero rows (valid=False, unreferenced) —
+        # _ensure_capacity doubles to powers of two and can never make
+        # e.g. 2048 divisible by 3.
+        cap_pad = -(-cap // S) * S
         sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         mesh_devs = list(self.mesh.devices.flat)
 
         def put(a):
-            rows = _stack_rows(np.asarray(a), S)
+            a = np.asarray(a)
+            if cap_pad != a.shape[0]:
+                a = np.concatenate(
+                    [a, np.zeros((cap_pad - a.shape[0],) + a.shape[1:],
+                                 a.dtype)]
+                )
+            rows = _stack_rows(a, S)
             if jax.process_count() == 1:
                 return jax.device_put(rows, sharding)
             local = [

@@ -406,18 +406,20 @@ def sharded_insert_step(
     subgraphs are disjoint). Returns updated stacked arrays."""
     spec = P(DATA_AXIS)
 
-    def shard_fn(arrays, slots, vecs):
+    def shard_fn(arrays, slots, vecs, entry):
         local = _local(arrays)
         out = insert_batch_device(
-            local, slots[0], vecs[0], jnp.int32(0), params=params
+            local, slots[0], vecs[0], entry[0], params=params
         )
         return jax.tree.map(lambda a: a[None], out)
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: spec, stacked.arrays), spec, spec),
+        in_specs=(
+            jax.tree.map(lambda _: spec, stacked.arrays), spec, spec, spec,
+        ),
         out_specs=jax.tree.map(lambda _: spec, stacked.arrays),
         check_vma=False,
     )
-    return fn(stacked.arrays, new_slots, new_vecs)
+    return fn(stacked.arrays, new_slots, new_vecs, stacked.entry)

@@ -198,3 +198,60 @@ def test_delete_with_duplicate_rowids_in_one_batch(rng):
     assert coord.count == 37
     ids, _ = coord.search(data[:1], 5, l_search=16)
     assert not {3, 7, 11} & set(ids.ravel().tolist())
+
+
+def test_allocate_batch_atomic_on_duplicate(rng):
+    """Regression (round-4 review): a duplicate rowid mid-batch must not
+    leave earlier batch rowids permanently mapped to ghost slots."""
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=4, l_insert=8, l_search=16,
+        dimensions=8, node_vector_type=VectorType.FLOAT32,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((12, 8)).astype(np.float32)
+    coord.bulk_build(list(range(10)), data[:10])
+    with pytest.raises(KeyError):
+        coord.insert([100, 7], data[10:12])  # 7 already present
+    assert 100 not in coord.allocator.rowid_to_slot
+    assert coord.count == 10
+    coord.insert([100], data[10:11])  # still insertable
+    assert coord.count == 11
+    with pytest.raises(KeyError):
+        coord.insert([200, 200], data[10:12])  # in-batch duplicate
+    assert 200 not in coord.allocator.rowid_to_slot
+
+
+def test_failed_first_insert_resets_entry(rng, monkeypatch):
+    """Regression (round-4 review): a failed FIRST insert must reset the
+    bootstrap entry point, or every later insert computes step=0 forever."""
+    from duckdb_lm_diskann_tpu.core import builder, coordinator
+
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=4, l_insert=8, l_search=16,
+        dimensions=8, node_vector_type=VectorType.FLOAT32,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    data = rng.standard_normal((6, 8)).astype(np.float32)
+
+    calls = {"n": 0}
+    real = builder.insert_batch
+
+    def failing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after the bootstrap store, before batch 2
+            raise RuntimeError("injected")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(coordinator, "insert_batch", failing)
+    with pytest.raises(RuntimeError, match="injected"):
+        coord.insert(list(range(6)), data)
+    assert coord.count == 0
+    assert coord.entry_slot == -1
+
+    monkeypatch.setattr(coordinator, "insert_batch", real)
+    coord.insert(list(range(6)), data)  # the index recovers fully
+    assert coord.count == 6
+    ids, _ = coord.search(data[:1], 1, l_search=16)
+    assert ids[0, 0] == 0
