@@ -960,3 +960,124 @@ def build_schedule(n: int, max_batch: int = 1024) -> list[int]:
         if b < max_batch:
             b *= 2
     return out
+
+
+# --------------------------------------------------------------------- #
+# Host-side maintenance planning, shared by the single-chip Coordinator
+# and the row-sharded GlobalShardedIndex (whose DML is a mirror of the
+# Coordinator's with the device calls swapped for sharded twins). Keeping
+# the numpy planning here makes the two engines parity-by-construction —
+# round 4's review found the first drift (a hardcoded all_valid) in the
+# copied version of exactly this logic.
+
+
+def plan_delete_repair(
+    nbr_rows: np.ndarray,  # [Dn, R] each deleted node's out-edges
+    del_slots: np.ndarray,  # i32[Dn]
+    r: int,
+):
+    """Group the (target, deleted-node) repair pairs of one delete batch:
+    round k repairs each target against its k-th adjacent deleted node
+    (round count = max adjacency multiplicity), plus the orphan-rescue
+    inputs. Returns (rounds, rescue) where rounds is a list of
+    (t_pad i32[P], extra i32[P, R]) and rescue is (t_pad, sibs) or None
+    — all pow2>=256 padded for compile reuse."""
+    Dn = len(del_slots)
+    tgt = nbr_rows.ravel()
+    di = np.repeat(np.arange(Dn, dtype=np.int32), r)
+    keep = (tgt >= 0) & ~np.isin(tgt, del_slots)
+    tgt, di = tgt[keep], di[keep]
+    rounds = []
+    rescue = None
+    if len(tgt):
+        order = np.lexsort((di, tgt))
+        tgt, di = tgt[order], di[order]
+        first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
+        starts = np.maximum.accumulate(
+            np.where(first, np.arange(len(tgt)), 0)
+        )
+        ranks = np.arange(len(tgt)) - starts
+        for rr in range(int(ranks.max()) + 1):
+            m = ranks == rr
+            t_r, d_r = tgt[m], di[m]  # unique targets this round
+            u = len(t_r)
+            pad = _pow2_at_least(u, 256)
+            t_pad = np.full(pad, -1, np.int32)
+            t_pad[:u] = t_r
+            extra = np.full((pad, r), -1, np.int32)
+            extra[:u] = nbr_rows[d_r]
+            rounds.append((t_pad, extra))
+        uniq, uidx = np.unique(tgt, return_index=True)
+        upad = _pow2_at_least(len(uniq), 256)
+        t_pad = np.full(upad, -1, np.int32)
+        t_pad[: len(uniq)] = uniq
+        sibs = np.full((upad, r), -1, np.int32)
+        sibs[: len(uniq)] = nbr_rows[di[uidx]]
+        rescue = (t_pad, sibs)
+    return rounds, rescue
+
+
+def reachable_mask(
+    nbrs_h: np.ndarray, valid_h: np.ndarray, entry: int
+) -> np.ndarray:
+    """Host BFS over live out-edges from the entry point (the
+    repair_reachability traversal)."""
+    reach = np.zeros(len(valid_h), bool)
+    frontier = np.asarray([entry])
+    reach[frontier] = True
+    while len(frontier):
+        nxt = nbrs_h[frontier].ravel()
+        nxt = nxt[nxt >= 0]
+        nxt = nxt[valid_h[nxt] & ~reach[nxt]]
+        nxt = np.unique(nxt)
+        reach[nxt] = True
+        frontier = nxt
+    return reach
+
+
+def choose_adopters(
+    orphans: np.ndarray,  # i32[n]
+    tk: np.ndarray,  # i32[n, k] nearest-reachable candidates per orphan
+    nbrs_h: np.ndarray,  # [C, R]
+    pad: int,
+) -> np.ndarray:
+    """Adopter choice for orphan rescue: nearest reachable candidate,
+    preferring ones with a free neighbor slot (force-link into a full row
+    evicts its farthest edge, which can strand a DIFFERENT node and stall
+    the fixpoint); distinct adopters per pass, falling back through the
+    top-k alternatives on collision."""
+    has_free = (nbrs_h < 0).any(axis=1)
+    adopters = np.full(pad, -1, np.int32)
+    seen: set[int] = set()
+    for prefer_free in (True, False):
+        for i in range(len(orphans)):
+            if adopters[i] >= 0:
+                continue
+            for s in tk[i]:
+                if (
+                    s >= 0
+                    and s != orphans[i]
+                    and int(s) not in seen
+                    and (not prefer_free or has_free[s])
+                ):
+                    adopters[i] = s
+                    seen.add(int(s))
+                    break
+    return adopters
+
+
+def select_fallback_entry(
+    slot_to_rowid: dict, nbrs_h: np.ndarray, valid_h: np.ndarray
+) -> tuple[int, int]:
+    """Deterministic entry re-selection after the entry point dies: the
+    live slot with the most live out-neighbors, ties to the smallest slot
+    (the reference re-selects randomly, GraphManager.cpp:564-621)."""
+    from ..common.types import INVALID_ROW_ID
+
+    if not slot_to_rowid:
+        return -1, INVALID_ROW_ID
+    live = np.asarray(sorted(slot_to_rowid), np.int32)
+    nbrs = nbrs_h[live]
+    degree = ((nbrs >= 0) & valid_h[np.maximum(nbrs, 0)]).sum(axis=1)
+    slot = int(live[int(np.argmax(degree))])  # argmax ties -> smallest
+    return slot, slot_to_rowid[slot]

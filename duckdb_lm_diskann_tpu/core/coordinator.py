@@ -553,7 +553,11 @@ class Coordinator:
         # so a 1k-row delete costs one or two device dispatches, vs one per
         # deleted row in round 1 (the paper's per-row delete is ~45 ms,
         # Table IV; see bench.py delete_ms_per_row).
-        from .builder import delete_repair_round, delete_repair_round_nodonate
+        from .builder import (
+            delete_repair_round,
+            delete_repair_round_nodonate,
+            plan_delete_repair,
+        )
 
         repair_fn = (
             delete_repair_round
@@ -564,42 +568,23 @@ class Coordinator:
         R = self.params.r
         nbr_rows = np.asarray(self.arrays.neighbors[jnp.asarray(del_slots)])
         Dn = len(del_slots)
-        tgt = nbr_rows.ravel()
-        di = np.repeat(np.arange(Dn, dtype=np.int32), R)
-        keep_pair = (tgt >= 0) & ~np.isin(tgt, del_slots)
-        tgt, di = tgt[keep_pair], di[keep_pair]
-        if len(tgt):
-            # Deleted-slot mask, padded for compile reuse across batches.
-            dpad = _pow2_at_least(Dn, 256)
-            del_pad = np.full(dpad, -1, np.int32)
-            del_pad[:Dn] = del_slots
-            del_dev = jnp.asarray(del_pad)
-            order = np.lexsort((di, tgt))
-            tgt, di = tgt[order], di[order]
-            first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
-            starts = np.maximum.accumulate(
-                np.where(first, np.arange(len(tgt)), 0)
+        # Deleted-slot mask, padded for compile reuse across batches.
+        dpad = _pow2_at_least(Dn, 256)
+        del_pad = np.full(dpad, -1, np.int32)
+        del_pad[:Dn] = del_slots
+        del_dev = jnp.asarray(del_pad)
+        rounds, rescue_plan = plan_delete_repair(nbr_rows, del_slots, R)
+        for t_pad, extra in rounds:
+            # One fused donated dispatch per round: gather current
+            # neighbors + mask deleted + RobustPrune + write, without
+            # ever duplicating the graph arrays in HBM.
+            self.arrays = repair_fn(
+                self.arrays,
+                jnp.asarray(t_pad),
+                jnp.asarray(extra),
+                del_dev,
+                params=self.params,
             )
-            ranks = np.arange(len(tgt)) - starts
-            for r in range(int(ranks.max()) + 1):
-                m = ranks == r
-                t_r, d_r = tgt[m], di[m]  # unique targets this round
-                u = len(t_r)
-                pad = _pow2_at_least(u, 256)
-                t_pad = np.full(pad, -1, np.int32)
-                t_pad[:u] = t_r
-                extra = np.full((pad, R), -1, np.int32)
-                extra[:u] = nbr_rows[d_r]
-                # One fused donated dispatch per round: gather current
-                # neighbors + mask deleted + RobustPrune + write, without
-                # ever duplicating the graph arrays in HBM.
-                self.arrays = repair_fn(
-                    self.arrays,
-                    jnp.asarray(t_pad),
-                    jnp.asarray(extra),
-                    del_dev,
-                    params=self.params,
-                )
 
         # Tombstone + unmap + enqueue (EnqueueDeletion + FreeNode).
         del_idx = jnp.asarray(del_slots)
@@ -614,7 +599,7 @@ class Coordinator:
         # in-links is force-linked from its nearest live ex-sibling —
         # otherwise it is permanently unreachable (the reference inherits
         # this from libSQL's unlink-only delete, vectordiskann.c:1666-1686).
-        if len(tgt):
+        if rescue_plan is not None:
             from .builder import (
                 refresh_edge_codes,
                 refresh_edge_codes_nodonate,
@@ -633,12 +618,7 @@ class Coordinator:
                 else refresh_edge_codes_nodonate
             )
 
-            uniq, uidx = np.unique(tgt, return_index=True)
-            upad = _pow2_at_least(len(uniq), 256)
-            t_pad = np.full(upad, -1, np.int32)
-            t_pad[: len(uniq)] = uniq
-            sibs = np.full((upad, R), -1, np.int32)
-            sibs[: len(uniq)] = nbr_rows[di[uidx]]
+            t_pad, sibs = rescue_plan
             self.arrays, adopters = rescue_fn(
                 self.arrays,
                 jnp.asarray(t_pad),
@@ -739,15 +719,15 @@ class Coordinator:
             self.entry_rowid = self.allocator.slot_to_rowid[slot]
 
     def _select_fallback_entry(self) -> tuple[int, int]:
-        """Deterministic entry re-selection after the entry point dies."""
-        if not self.allocator.slot_to_rowid:
-            return -1, INVALID_ROW_ID
-        live = np.asarray(sorted(self.allocator.slot_to_rowid), np.int32)
-        valid = np.asarray(self.arrays.valid)
-        nbrs = np.asarray(self.arrays.neighbors)[live]  # [T, R]
-        degree = ((nbrs >= 0) & valid[np.maximum(nbrs, 0)]).sum(axis=1)
-        slot = int(live[int(np.argmax(degree))])  # argmax ties -> first/smallest
-        return slot, self.allocator.slot_to_rowid[slot]
+        """Deterministic entry re-selection after the entry point dies
+        (builder.select_fallback_entry, shared with the sharded engine)."""
+        from .builder import select_fallback_entry
+
+        return select_fallback_entry(
+            self.allocator.slot_to_rowid,
+            np.asarray(self.arrays.neighbors),
+            np.asarray(self.arrays.valid),
+        )
 
     def update(self, rowid: int, vector: np.ndarray) -> None:
         """Update = delete + re-insert (Coordinator::Update, :226-237)."""
@@ -801,21 +781,13 @@ class Coordinator:
         if self.count < 2 or self.entry_slot < 0:
             self._needs_reachability_repair = False
             return 0
+        from .builder import choose_adopters, reachable_mask
+
         total = 0
         for _ in range(max_rounds):
-            cap = self.capacity
             nbrs_h = np.asarray(self.arrays.neighbors)
             valid_h = np.asarray(self.arrays.valid)
-            reach = np.zeros(cap, bool)
-            frontier = np.asarray([self.entry_slot])
-            reach[frontier] = True
-            while len(frontier):
-                nxt = nbrs_h[frontier].ravel()
-                nxt = nxt[nxt >= 0]
-                nxt = nxt[valid_h[nxt] & ~reach[nxt]]
-                nxt = np.unique(nxt)
-                reach[nxt] = True
-                frontier = nxt
+            reach = reachable_mask(nbrs_h, valid_h, self.entry_slot)
             orphans = np.nonzero(valid_h & ~reach)[0].astype(np.int32)
             if len(orphans) == 0:
                 break
@@ -832,29 +804,9 @@ class Coordinator:
                 l_search=max(16, self.params.r),
                 k=4,
             )
-            # Adopter choice: nearest reachable candidate, preferring ones
-            # with a free neighbor slot (force-link into a full row evicts
-            # its farthest edge, which can strand a DIFFERENT node and
-            # stall the fixpoint); distinct adopters per pass, falling back
-            # through the top-k alternatives on collision.
-            tk = np.asarray(res.topk_slots)
-            has_free = (nbrs_h < 0).any(axis=1)
-            adopters = np.full(pad, -1, np.int32)
-            seen: set[int] = set()
-            for prefer_free in (True, False):
-                for i in range(len(orphans)):
-                    if adopters[i] >= 0:
-                        continue
-                    for s in tk[i]:
-                        if (
-                            s >= 0
-                            and s != orphans[i]
-                            and int(s) not in seen
-                            and (not prefer_free or has_free[s])
-                        ):
-                            adopters[i] = s
-                            seen.add(int(s))
-                            break
+            adopters = choose_adopters(
+                orphans, np.asarray(res.topk_slots), nbrs_h, pad
+            )
             n_adopted = int((adopters >= 0).sum())
             if n_adopted == 0:
                 break  # no orphan could be adopted; further rounds stall

@@ -601,48 +601,25 @@ class GlobalShardedIndex:
                 self._stacked, del_dev0, mesh=self.mesh, field="neighbors",
             )
         )[:Dn]
-        tgt = nbr_rows.ravel()
-        di = np.repeat(np.arange(Dn, dtype=np.int32), R)
-        keep_pair = (tgt >= 0) & ~np.isin(tgt, del_slots)
-        tgt, di = tgt[keep_pair], di[keep_pair]
-        if len(tgt):
-            del_dev = del_dev0
-            order = np.lexsort((di, tgt))
-            tgt, di = tgt[order], di[order]
-            first = np.concatenate([[True], tgt[1:] != tgt[:-1]])
-            starts = np.maximum.accumulate(
-                np.where(first, np.arange(len(tgt)), 0)
+        from ..core.builder import plan_delete_repair
+
+        rounds, rescue_plan = plan_delete_repair(nbr_rows, del_slots, R)
+        for t_pad, extra in rounds:
+            self._stacked = _g_delete_repair_round(
+                self._stacked, jnp.asarray(t_pad), jnp.asarray(extra),
+                del_dev0, mesh=self.mesh, params=params,
             )
-            ranks = np.arange(len(tgt)) - starts
-            for r in range(int(ranks.max()) + 1):
-                m = ranks == r
-                t_r, d_r = tgt[m], di[m]
-                u = len(t_r)
-                pad = _pow2_at_least(u, 256)
-                t_pad = np.full(pad, -1, np.int32)
-                t_pad[:u] = t_r
-                extra = np.full((pad, R), -1, np.int32)
-                extra[:u] = nbr_rows[d_r]
-                self._stacked = _g_delete_repair_round(
-                    self._stacked, jnp.asarray(t_pad), jnp.asarray(extra),
-                    del_dev, mesh=self.mesh, params=params,
-                )
 
         coord._ever_tombstoned = True
         self._stacked = _g_tombstone(
             self._stacked, del_dev0, mesh=self.mesh
         )
 
-        if len(tgt):
-            uniq, uidx = np.unique(tgt, return_index=True)
-            upad = _pow2_at_least(len(uniq), 256)
-            t_pad = np.full(upad, -1, np.int32)
-            t_pad[: len(uniq)] = uniq
-            sibs = np.full((upad, R), -1, np.int32)
-            sibs[: len(uniq)] = nbr_rows[di[uidx]]
+        if rescue_plan is not None:
+            t_pad, sibs = rescue_plan
             self._stacked, adopters = _g_rescue_round(
                 self._stacked, jnp.asarray(t_pad), jnp.asarray(sibs),
-                del_dev, mesh=self.mesh, params=params,
+                del_dev0, mesh=self.mesh, params=params,
             )
             self._stacked = _g_refresh(
                 self._stacked, adopters, mesh=self.mesh, params=params
@@ -689,16 +666,17 @@ class GlobalShardedIndex:
         return nbrs.reshape(-1, nbrs.shape[-1]), valid.reshape(-1)
 
     def _select_fallback_entry_distributed(self) -> tuple[int, int]:
-        """Coordinator._select_fallback_entry over the sharded arrays."""
+        """Coordinator._select_fallback_entry over the sharded arrays
+        (shared planner: builder.select_fallback_entry)."""
+        from ..core.builder import select_fallback_entry
+
         coord = self.coordinator
         if not coord.allocator.slot_to_rowid:
             return -1, INVALID_ROW_ID
         nbrs_h, valid_h = self._host_tables()
-        live = np.asarray(sorted(coord.allocator.slot_to_rowid), np.int32)
-        nbrs = nbrs_h[live]
-        degree = ((nbrs >= 0) & valid_h[np.maximum(nbrs, 0)]).sum(axis=1)
-        slot = int(live[int(np.argmax(degree))])
-        return slot, coord.allocator.slot_to_rowid[slot]
+        return select_fallback_entry(
+            coord.allocator.slot_to_rowid, nbrs_h, valid_h
+        )
 
     def vacuum(self) -> int:
         """PerformVacuum for the distributed mode: recycle tombstoned slots
@@ -723,20 +701,12 @@ class GlobalShardedIndex:
         if coord.count < 2 or coord.entry_slot < 0:
             self._needs_repair = False
             return 0
+        from ..core.builder import choose_adopters, reachable_mask
+
         total = 0
         for _ in range(max_rounds):
             nbrs_h, valid_h = self._host_tables()
-            cap = len(valid_h)
-            reach = np.zeros(cap, bool)
-            frontier = np.asarray([coord.entry_slot])
-            reach[frontier] = True
-            while len(frontier):
-                nxt = nbrs_h[frontier].ravel()
-                nxt = nxt[nxt >= 0]
-                nxt = nxt[valid_h[nxt] & ~reach[nxt]]
-                nxt = np.unique(nxt)
-                reach[nxt] = True
-                frontier = nxt
+            reach = reachable_mask(nbrs_h, valid_h, coord.entry_slot)
             orphans = np.nonzero(valid_h & ~reach)[0].astype(np.int32)
             if len(orphans) == 0:
                 break
@@ -753,24 +723,7 @@ class GlobalShardedIndex:
                 mesh=self.mesh, params=params,
                 l_search=max(16, params.r), k=4,
             )
-            tk = np.asarray(tk)
-            has_free = (nbrs_h < 0).any(axis=1)
-            adopters = np.full(pad, -1, np.int32)
-            seen: set[int] = set()
-            for prefer_free in (True, False):
-                for i in range(len(orphans)):
-                    if adopters[i] >= 0:
-                        continue
-                    for s in tk[i]:
-                        if (
-                            s >= 0
-                            and s != orphans[i]
-                            and int(s) not in seen
-                            and (not prefer_free or has_free[s])
-                        ):
-                            adopters[i] = s
-                            seen.add(int(s))
-                            break
+            adopters = choose_adopters(orphans, np.asarray(tk), nbrs_h, pad)
             n_adopted = int((adopters >= 0).sum())
             if n_adopted == 0:
                 break
