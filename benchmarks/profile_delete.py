@@ -62,14 +62,19 @@ def main():
         del_pad[: len(del_slots)] = del_slots
         del_dev = jnp.asarray(del_pad)
         rounds, rescue_plan = B.plan_delete_repair(nbr_rows, del_slots, R)
+        groups = B.group_repair_rounds(rounds)
         marks.append(("plan", time.perf_counter()))
         print(
-            f"#   {tag}: rounds={len(rounds)} sizes="
-            f"{[len(t) for t, _ in rounds]}",
+            f"#   {tag}: rounds={len(rounds)} dispatches={len(groups)} "
+            f"groups={[(k, t.shape) for k, t, _ in groups]}",
             flush=True,
         )
-        for t_pad, extra in rounds:
-            coord.arrays = B.delete_repair_round(
+        for kind, t_pad, extra in groups:
+            step = (
+                B.delete_repair_round if kind == "one"
+                else B.delete_repair_scan
+            )
+            coord.arrays = step(
                 coord.arrays, jnp.asarray(t_pad), jnp.asarray(extra),
                 del_dev, params=coord.params,
             )
@@ -116,10 +121,21 @@ def main():
             flush=True,
         )
 
-    picks = rng.choice(n, 3 * nd, replace=False)
+    picks = rng.choice(n, 5 * nd, replace=False)
     timed_delete(picks[:nd], "cold")
     timed_delete(picks[nd : 2 * nd], "steady1")
-    timed_delete(picks[2 * nd :], "steady2")
+    timed_delete(picks[2 * nd : 3 * nd], "steady2")
+    # End-to-end Coordinator.delete (what bench.py times), warm.
+    for i, tag in ((3, "coord_cold"), (4, "coord_steady")):
+        half = picks[i * nd : (i + 1) * nd]
+        t0 = time.perf_counter()
+        coord.delete(half.tolist())
+        jax.block_until_ready(coord.arrays.vectors)
+        dt = time.perf_counter() - t0
+        print(
+            f"# {tag}: {1e3 * dt:.0f}ms ({1e3 * dt / nd:.2f} ms/row)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

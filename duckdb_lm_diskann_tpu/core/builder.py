@@ -221,6 +221,72 @@ def delete_repair_round(
     return write_neighbor_rows(arrays, tgt_slots, sel, params=params)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("params",), donate_argnums=(0,)
+)
+def delete_repair_scan(
+    arrays: GraphArrays,
+    tgt_stack: jnp.ndarray,  # i32[G, T] G stacked equal-size rounds
+    extra_stack: jnp.ndarray,  # i32[G, T, R]
+    del_slots: jnp.ndarray,  # i32[Dp] slots being deleted (-1 padded)
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """G stacked delete-repair rounds in ONE dispatch: lax.scan carries the
+    donated arrays through G sequential delete_repair_round bodies — the
+    exact op order of G separate dispatches, minus the per-dispatch host
+    round-trip. Motivation (benchmarks/profile_delete.py): round count =
+    max adjacency multiplicity, measured 72-99 rounds per 1k-row delete at
+    200k nodes, of which ~70 are 256-padded tail rounds whose ~21 ms
+    dispatch overhead IS the whole delete budget. All-(-1) padding rounds
+    (group size rounded up for compile reuse) are no-ops by the same
+    mode="drop" scatter rule that already handles -1-padded targets."""
+
+    def body(arr, xs):
+        t, e = xs
+        return (
+            delete_repair_round.__wrapped__(
+                arr, t, e, del_slots, params=params
+            ),
+            None,
+        )
+
+    arrays, _ = jax.lax.scan(body, arrays, (tgt_stack, extra_stack))
+    return arrays
+
+
+def group_repair_rounds(rounds):
+    """Host-side dispatch plan for plan_delete_repair's rounds: consecutive
+    rounds with the same padded width T are stacked into one scan group
+    (("scan", t[G, T], extra[G, T, R]) with G pow2-padded by all-(-1)
+    no-op rounds for compile reuse); width-singletons stay per-round
+    dispatches (("one", t, extra)) — scanning a lone 32k-wide head round
+    would pay pow2 padding in pure compute. Shared by the single-chip
+    Coordinator and the row-sharded GlobalShardedIndex so both engines
+    batch dispatches identically."""
+    out = []
+    i = 0
+    while i < len(rounds):
+        width = len(rounds[i][0])
+        j = i
+        while j < len(rounds) and len(rounds[j][0]) == width:
+            j += 1
+        group = rounds[i:j]
+        if len(group) == 1:
+            out.append(("one",) + group[0])
+        else:
+            g_pad = _pow2_at_least(len(group), 2)
+            r = group[0][1].shape[1]
+            t_stack = np.full((g_pad, width), -1, np.int32)
+            e_stack = np.full((g_pad, width, r), -1, np.int32)
+            for g, (t, e) in enumerate(group):
+                t_stack[g] = t
+                e_stack[g] = e
+            out.append(("scan", t_stack, e_stack))
+        i = j
+    return out
+
+
 def inlink_histogram(neighbors, valid, cap: int) -> jnp.ndarray:
     """Global in-link histogram: hist[s] = number of edges into slot s from
     valid source rows (hist has cap+1 bins; the last is the -1 sentinel
@@ -926,6 +992,9 @@ def insert_batch(
 
 delete_repair_round_nodonate = jax.jit(
     delete_repair_round.__wrapped__, static_argnames=("params",)
+)
+delete_repair_scan_nodonate = jax.jit(
+    delete_repair_scan.__wrapped__, static_argnames=("params",)
 )
 rescue_orphans_round_nodonate = jax.jit(
     rescue_orphans_round.__wrapped__, static_argnames=("params",)

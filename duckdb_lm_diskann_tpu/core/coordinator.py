@@ -556,6 +556,9 @@ class Coordinator:
         from .builder import (
             delete_repair_round,
             delete_repair_round_nodonate,
+            delete_repair_scan,
+            delete_repair_scan_nodonate,
+            group_repair_rounds,
             plan_delete_repair,
         )
 
@@ -563,6 +566,11 @@ class Coordinator:
             delete_repair_round
             if self.donate_buffers
             else delete_repair_round_nodonate
+        )
+        scan_fn = (
+            delete_repair_scan
+            if self.donate_buffers
+            else delete_repair_scan_nodonate
         )
 
         R = self.params.r
@@ -574,11 +582,15 @@ class Coordinator:
         del_pad[:Dn] = del_slots
         del_dev = jnp.asarray(del_pad)
         rounds, rescue_plan = plan_delete_repair(nbr_rows, del_slots, R)
-        for t_pad, extra in rounds:
-            # One fused donated dispatch per round: gather current
-            # neighbors + mask deleted + RobustPrune + write, without
-            # ever duplicating the graph arrays in HBM.
-            self.arrays = repair_fn(
+        for kind, t_pad, extra in group_repair_rounds(rounds):
+            # Fused donated dispatches: gather current neighbors + mask
+            # deleted + RobustPrune + write, never duplicating the graph
+            # arrays in HBM. Equal-width round runs (the multiplicity
+            # tail) are lax.scan'ed into one dispatch — same op order,
+            # ~90 dispatches -> <10 for a 1k-row delete (the dispatch
+            # overhead WAS the delete budget; benchmarks/profile_delete.py).
+            step = repair_fn if kind == "one" else scan_fn
+            self.arrays = step(
                 self.arrays,
                 jnp.asarray(t_pad),
                 jnp.asarray(extra),

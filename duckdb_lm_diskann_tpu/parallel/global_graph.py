@@ -429,6 +429,47 @@ def _g_delete_repair_round(
 @functools.partial(
     jax.jit, static_argnames=("mesh", "params"), donate_argnums=(0,)
 )
+def _g_delete_repair_scan(
+    stacked: GraphArrays, tgt_stack, extra_stack, dels, *,
+    mesh, params: GraphParams,
+) -> GraphArrays:
+    """G stacked equal-width repair rounds in one dispatch (the sharded
+    twin of builder.delete_repair_scan): lax.scan inside the shard_map
+    carries the row-sharded arrays through the sequential rounds, so the
+    per-hop psum row exchange runs per scan step with no host round-trip
+    between rounds."""
+    p = dataclasses.replace(params, pallas="0")
+
+    def shard_fn(arrays, tgt_stack, extra_stack, dels):
+        def body(arr, xs):
+            t, e = xs
+            return (
+                delete_repair_round.__wrapped__(
+                    arr, t, e, dels, params=p
+                ),
+                None,
+            )
+
+        # PsumRows is a registered pytree, so the wrapped (row-sharded)
+        # GraphArrays is carried through the scan directly.
+        out, _ = jax.lax.scan(
+            body, _wrap(arrays), (tgt_stack, extra_stack)
+        )
+        return _unwrap(out)
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: _SPEC, stacked), _REP, _REP, _REP),
+        out_specs=jax.tree.map(lambda _: _SPEC, stacked),
+        check_vma=False,
+    )
+    return fn(stacked, tgt_stack, extra_stack, dels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "params"), donate_argnums=(0,)
+)
 def _g_rescue_round(
     stacked: GraphArrays, tgt, sibs, dels, *, mesh, params: GraphParams
 ):
@@ -601,11 +642,16 @@ class GlobalShardedIndex:
                 self._stacked, del_dev0, mesh=self.mesh, field="neighbors",
             )
         )[:Dn]
-        from ..core.builder import plan_delete_repair
+        from ..core.builder import group_repair_rounds, plan_delete_repair
 
         rounds, rescue_plan = plan_delete_repair(nbr_rows, del_slots, R)
-        for t_pad, extra in rounds:
-            self._stacked = _g_delete_repair_round(
+        for kind, t_pad, extra in group_repair_rounds(rounds):
+            step = (
+                _g_delete_repair_round
+                if kind == "one"
+                else _g_delete_repair_scan
+            )
+            self._stacked = step(
                 self._stacked, jnp.asarray(t_pad), jnp.asarray(extra),
                 del_dev0, mesh=self.mesh, params=params,
             )
