@@ -255,3 +255,59 @@ def test_failed_first_insert_resets_entry(rng, monkeypatch):
     assert coord.count == 6
     ids, _ = coord.search(data[:1], 1, l_search=16)
     assert ids[0, 0] == 0
+
+
+def test_grouped_delete_scan_matches_per_round(rng):
+    """Delete-repair dispatch fusion (builder.delete_repair_scan): stacking
+    equal-width repair rounds into one lax.scan must be bit-identical to
+    dispatching them one by one — same graph, same valid mask, same search
+    results. The 160-row delete below yields multi-round scan groups
+    (adjacency multiplicity > 1), so the scan path really executes."""
+    from duckdb_lm_diskann_tpu.core import builder
+
+    n, d = 500, 12
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=32,
+        dimensions=d, node_vector_type=VectorType.FLOAT32,
+    )
+    cfg.validate()
+
+    def build():
+        c = Coordinator(cfg, initial_capacity=n)
+        c.bulk_build(list(range(n)), data, max_batch=64)
+        return c
+
+    picks = rng.choice(n, 160, replace=False).tolist()
+
+    c_scan = build()
+    c_single = build()
+    groups = builder.group_repair_rounds  # grouped (production) path
+    try:
+        # Force the per-round path by making every group a singleton.
+        builder.group_repair_rounds = lambda rounds: [
+            ("one", t, e) for t, e in rounds
+        ]
+        c_single.delete(picks)
+    finally:
+        builder.group_repair_rounds = groups
+    # Sanity: the production grouping actually produces scan groups here.
+    nbr = np.asarray(c_scan.arrays.neighbors[
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(
+            np.asarray([c_scan.allocator.rowid_to_slot[r] for r in picks],
+                       np.int32))])
+    rounds, _ = builder.plan_delete_repair(
+        nbr, np.asarray([c_scan.allocator.rowid_to_slot[r] for r in picks],
+                        np.int32), cfg.r)
+    assert any(k == "scan" for k, _, _ in groups(rounds))
+    c_scan.delete(picks)
+
+    assert (np.asarray(c_scan.arrays.valid)
+            == np.asarray(c_single.arrays.valid)).all()
+    assert (np.asarray(c_scan.arrays.neighbors)
+            == np.asarray(c_single.arrays.neighbors)).all()
+    q = rng.standard_normal((8, d)).astype(np.float32)
+    ids_a, d_a = c_scan.search(q, 5)
+    ids_b, d_b = c_single.search(q, 5)
+    assert (ids_a == ids_b).all()
+    assert np.allclose(d_a, d_b)
