@@ -65,7 +65,14 @@ def main():
                 q_dev, jnp.asarray(data[s : s + chunk]), MetricType.L2
             )
         )
-        ii = np.argpartition(d, k, axis=1)[:, :k]
+        # argpartition needs kth < row width; a tail chunk narrower than k
+        # (custom N values) just takes every column instead.
+        if d.shape[1] > k:
+            ii = np.argpartition(d, k, axis=1)[:, :k]
+        else:
+            ii = np.broadcast_to(
+                np.arange(d.shape[1])[None, :], (d.shape[0], d.shape[1])
+            ).copy()
         dd = np.take_along_axis(d, ii, axis=1)
         cd = np.concatenate([best_d, dd], axis=1)
         ci = np.concatenate([best_i, ii + s], axis=1)

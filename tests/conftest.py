@@ -22,6 +22,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache, shared by all xdist workers (JAX's cache is
+# multi-process safe). Root-causes the rare end-of-suite segfault inside
+# backend_compile_and_load: a worker that compiles hundreds of XLA-CPU
+# programs accumulates compile state until it can fall over; with the cache,
+# warm runs mostly *load* instead of compile. Also cuts warm suite wall time.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 import numpy as np
 import pytest
 

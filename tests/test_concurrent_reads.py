@@ -43,6 +43,7 @@ def test_concurrent_readers_and_writer_no_torn_state(rng):
     writes_done = [0]
     overlapped = [0]  # reads that completed while a write was in flight
     write_active = [False]
+    first_read = threading.Event()  # a reader cleared first-compile
 
     def reader(tid):
         q = data[tid % len(data)]
@@ -58,13 +59,22 @@ def test_concurrent_readers_and_writer_no_torn_state(rng):
                 assert all(i == -1 or 0 <= i < 100000 for i in ids.tolist())
                 assert np.isfinite(dists[0][ids >= 0]).all()
                 reads_done[0] += 1
+                first_read.set()
         except BaseException as e:  # noqa: BLE001 - collected for the main thread
             errors.append(e)
 
     def writer():
         try:
+            # Gate on a completed read: a writer racing reader FIRST-COMPILE
+            # can finish all its writes before any read lands, making the
+            # overlap assertion below a timing flake (VERDICT r4 weak #4a).
+            first_read.wait(timeout=120)
+            deadline = time.monotonic() + 90
             next_id = 1000
-            while not stop.is_set() and writes_done[0] < 12:
+            while not stop.is_set() and (
+                writes_done[0] < 12
+                or (overlapped[0] == 0 and time.monotonic() < deadline)
+            ):
                 vecs = rng.standard_normal((4, dims)).astype(np.float32)
                 write_active[0] = True
                 t.insert({"v": vecs})
@@ -84,7 +94,7 @@ def test_concurrent_readers_and_writer_no_torn_state(rng):
     for r in readers:
         r.start()
     wt.start()
-    wt.join(timeout=120)
+    wt.join(timeout=300)
     stop.set()
     for r in readers:
         r.join(timeout=60)

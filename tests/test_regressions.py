@@ -257,7 +257,7 @@ def test_failed_first_insert_resets_entry(rng, monkeypatch):
     assert ids[0, 0] == 0
 
 
-def test_grouped_delete_scan_matches_per_round(rng):
+def test_grouped_delete_scan_matches_per_round(rng, monkeypatch):
     """Delete-repair dispatch fusion (builder.delete_repair_scan): stacking
     equal-width repair rounds into one lax.scan must be bit-identical to
     dispatching them one by one — same graph, same valid mask, same search
@@ -283,14 +283,23 @@ def test_grouped_delete_scan_matches_per_round(rng):
     c_scan = build()
     c_single = build()
     groups = builder.group_repair_rounds  # grouped (production) path
-    try:
-        # Force the per-round path by making every group a singleton.
-        builder.group_repair_rounds = lambda rounds: [
-            ("one", t, e) for t, e in rounds
-        ]
-        c_single.delete(picks)
-    finally:
-        builder.group_repair_rounds = groups
+    forced_kinds: list[str] = []  # group kinds the forced path dispatched
+
+    def force_singletons(rounds):
+        out = [("one", t, e) for t, e in rounds]
+        forced_kinds.extend(k for k, _, _ in out)
+        return out
+
+    # monkeypatch (not raw assignment) so the hook is always restored, and
+    # record what the forced path actually produced: if a future refactor
+    # binds group_repair_rounds at import time instead of call time, the
+    # hook stops taking effect and the emptiness assertion below fails
+    # loudly instead of letting both sides silently run the grouped path.
+    monkeypatch.setattr(builder, "group_repair_rounds", force_singletons)
+    c_single.delete(picks)
+    monkeypatch.setattr(builder, "group_repair_rounds", groups)
+    assert forced_kinds, "forced-singleton hook never ran; parity is vacuous"
+    assert all(k == "one" for k in forced_kinds)
     # Sanity: the production grouping actually produces scan groups here.
     nbr = np.asarray(c_scan.arrays.neighbors[
         __import__("jax.numpy", fromlist=["asarray"]).asarray(
