@@ -484,6 +484,294 @@ def beam_search(
     )
 
 
+class StreamSearchResult(NamedTuple):
+    topk_slots: jnp.ndarray  # i32[NQ, K] (-1 padded)
+    topk_dists: jnp.ndarray  # f32[NQ, K] (+inf padded)
+    visited_count: jnp.ndarray  # i32[NQ]
+    hops: jnp.ndarray  # i32[] total lock-step iterations
+
+
+class _StreamState(NamedTuple):
+    beam_dist: jnp.ndarray  # f32[B, L]
+    beam_slot: jnp.ndarray  # i32[B, L]
+    beam_vis: jnp.ndarray  # bool[B, L]
+    seed_slots: jnp.ndarray  # i32[B, S] this lane's (sorted) seed set
+    seed_vis: jnp.ndarray  # bool[B, S]
+    top_dist: jnp.ndarray  # f32[B, K] running exact top-k, sorted
+    top_slot: jnp.ndarray  # i32[B, K]
+    q_lane: jnp.ndarray  # f32[B, D] lane's current query
+    lane_q: jnp.ndarray  # i32[B] query index (-1 = dead lane)
+    vis_cnt: jnp.ndarray  # i32[B] visits for the lane's current query
+    next_q: jnp.ndarray  # i32[] queue head
+    out_slot: jnp.ndarray  # i32[NQ, K]
+    out_dist: jnp.ndarray  # f32[NQ, K]
+    out_vis: jnp.ndarray  # i32[NQ]
+    it: jnp.ndarray  # i32[]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "l_search", "k", "lanes", "max_visits", "assume_all_valid",
+    ),
+)
+def beam_search_stream(
+    arrays: GraphArrays,
+    queries: jnp.ndarray,  # f32[NQ, D]
+    entry_slot: jnp.ndarray,  # i32[] | i32[S] | i32[NQ, S]
+    *,
+    params: GraphParams,
+    l_search: int,
+    k: int,
+    lanes: int = 1024,
+    max_visits: int = 0,
+    allowed: jnp.ndarray | None = None,
+    assume_all_valid: bool = False,
+) -> StreamSearchResult:
+    """Streaming beam search with continuous lane refill — the skew-aware
+    dynamic query rebatching of SURVEY §7.3 / BASELINE config #5.
+
+    The lock-step paths (:func:`beam_search` / :func:`beam_search_many`) run
+    a whole batch until its SLOWEST query converges: on the clustered HARD
+    corpus that wastes ~57% of hop work (mean 259.5 hops/batch vs 112.3
+    visits/query, BENCH_r04). Here the batch dimension becomes ``lanes`` of
+    a device-resident work queue: the moment a lane's beam has no unvisited
+    candidate, the lane writes its result and is re-seeded with the next
+    query — all inside one ``lax.while_loop``, so total hops ≈
+    ceil(total_visits / lanes) instead of sum-of-batch-maxima, and the
+    per-hop fixed cost (the 0.17 ms loop skeleton) is amortized over a
+    *full* lane array every iteration.
+
+    Per-query traversal is bit-identical to :func:`beam_search` (lane
+    packing cannot affect an individual query's beam): same seeding, same
+    hop math at E=1, and the final exact re-rank over the visited set
+    (vectordiskann.c:1091-1110) is maintained incrementally — each visit's
+    (exact_dist, slot) is shift-inserted into a sorted running top-k, with
+    a membership guard standing in for the visited-log dedup. Verified
+    id-and-distance-exact against beam_search in tests/test_beam_search.py.
+
+    Differences from the batch paths: ``beam_width`` is fixed at 1 (the
+    measured-optimal serving width — NOTES.md round 3/4) and per-query
+    visited logs are not returned (the insert path, which needs them, has
+    its own stream variant). NQ is a traced shape: serving should bucket
+    NQ as usual to bound retraces.
+    """
+    NQ, D = queries.shape
+    B = min(lanes, NQ)
+    L = l_search
+    V = max_visits if max_visits > 0 else params.max_visits
+    R = params.r
+    K = k
+    queries = queries.astype(jnp.float32)
+    ternary_q = params.edge_type in (EdgeType.TERNARY, EdgeType.FLOAT1BIT)
+
+    # ---- Pre-compute every query's seeded beam prefix [NQ, S] (one
+    # vectorized pass; identical math to beam_search's seed block).
+    seeds = jnp.atleast_1d(jnp.asarray(entry_slot, jnp.int32))
+    if seeds.ndim == 2:
+        seeds_all = seeds  # [NQ, S] per-query (adaptive seeding)
+    else:
+        seeds_all = jnp.broadcast_to(seeds[None, :], (NQ, seeds.shape[0]))
+    S = seeds_all.shape[-1]
+    if S > L:
+        raise ValueError("seed count exceeds l_search")
+    seed_vec = arrays.vectors[jnp.maximum(seeds_all, 0)].astype(jnp.float32)
+    seed_dist = pairwise_distance(queries[:, None, :], seed_vec, params.metric)
+    if assume_all_valid:
+        seed_ok = seeds_all >= 0
+    else:
+        seed_ok = (seeds_all >= 0) & arrays.valid[jnp.maximum(seeds_all, 0)]
+    sd_all, ss_all = topk_ops.mask_invalid(seed_dist, seeds_all, seed_ok)
+    sd_all, ss_all = topk_ops.sort_by_distance_id(sd_all, ss_all)
+    if S > 1:
+        sd_all, ss_all = topk_ops.dedup_sorted_ids(sd_all, ss_all)
+        sd_all, ss_all = topk_ops.sort_by_distance_id(sd_all, ss_all)
+
+    state = _StreamState(
+        beam_dist=jnp.full((B, L), INF),
+        beam_slot=jnp.full((B, L), -1, jnp.int32),
+        beam_vis=jnp.zeros((B, L), jnp.bool_),
+        seed_slots=jnp.full((B, S), -1, jnp.int32),
+        seed_vis=jnp.zeros((B, S), jnp.bool_),
+        top_dist=jnp.full((B, K), INF),
+        top_slot=jnp.full((B, K), -1, jnp.int32),
+        q_lane=jnp.zeros((B, D), jnp.float32),
+        lane_q=jnp.full((B,), -1, jnp.int32),
+        vis_cnt=jnp.zeros((B,), jnp.int32),
+        next_q=jnp.int32(0),
+        out_slot=jnp.full((NQ, K), -1, jnp.int32),
+        out_dist=jnp.full((NQ, K), INF),
+        out_vis=jnp.zeros((NQ,), jnp.int32),
+        it=jnp.int32(0),
+    )
+    # Generous static cap: perfect packing needs ~NQ*V/B iterations; the
+    # slack covers ragged refill tails. The cap never binds in practice
+    # (each query's visits are bounded by V).
+    max_iters = (NQ * V) // B + 2 * V + 8
+
+    def cond(s: _StreamState) -> jnp.ndarray:
+        return ((s.next_q < NQ) | jnp.any(s.lane_q >= 0)) & (s.it < max_iters)
+
+    def body(s: _StreamState) -> _StreamState:
+        rows = jnp.arange(B, dtype=jnp.int32)
+        unvis = (~s.beam_vis) & (s.beam_slot >= 0)  # [B, L]
+        needs = ~jnp.any(unvis, axis=-1)  # [B] converged or idle lanes
+
+        # -- Finalize: converged live lanes write their running top-k.
+        fin = needs & (s.lane_q >= 0)
+        w = jnp.where(fin, s.lane_q, NQ)  # NQ = dropped
+        out_slot = s.out_slot.at[w].set(s.top_slot, mode="drop")
+        out_dist = s.out_dist.at[w].set(s.top_dist, mode="drop")
+        out_vis = s.out_vis.at[w].set(s.vis_cnt, mode="drop")
+
+        # -- Refill: converged lanes take the next queue entries.
+        rank = jnp.cumsum(needs.astype(jnp.int32)) - 1  # [B]
+        cand_q = s.next_q + rank
+        assign = needs & (cand_q < NQ)
+        new_q = jnp.where(assign, cand_q, 0)
+        q_rows = queries[new_q]  # [B, D] row gather
+        sd_rows = sd_all[new_q]  # [B, S]
+        ss_rows = ss_all[new_q]
+        a1, a2 = assign[:, None], assign[:, None]
+        q_lane = jnp.where(a1, q_rows, s.q_lane)
+        seed_slots = jnp.where(a1, ss_rows, s.seed_slots)
+        seed_vis = jnp.where(a1, False, s.seed_vis)
+        pos_l = jnp.arange(L, dtype=jnp.int32)[None, :]
+        beam_dist = jnp.where(
+            a1, jnp.where(pos_l < S, jnp.pad(sd_rows, ((0, 0), (0, L - S)),
+                                             constant_values=INF), INF),
+            s.beam_dist,
+        )
+        beam_slot = jnp.where(
+            a1, jnp.where(pos_l < S, jnp.pad(ss_rows, ((0, 0), (0, L - S)),
+                                             constant_values=-1), -1),
+            s.beam_slot,
+        )
+        beam_vis = jnp.where(a1, False, s.beam_vis)
+        top_dist = jnp.where(a2, INF, s.top_dist)
+        top_slot = jnp.where(a2, -1, s.top_slot)
+        vis_cnt = jnp.where(assign, 0, s.vis_cnt)
+        lane_q = jnp.where(assign, new_q, jnp.where(needs, -1, s.lane_q))
+        n_taken = jnp.minimum(jnp.sum(needs.astype(jnp.int32)), NQ - s.next_q)
+        next_q = s.next_q + jnp.maximum(n_taken, 0)
+
+        # -- Hop: identical to beam_search's E=1 body over the live lanes
+        # (refilled lanes make their first visit in this same iteration).
+        unvis = (~beam_vis) & (beam_slot >= 0)
+        idx_e = jnp.argmax(unvis, axis=-1)[:, None]  # [B, 1]
+        active_e = jnp.take_along_axis(unvis, idx_e, axis=-1)  # [B, 1]
+        cur = jnp.take_along_axis(beam_slot, idx_e, axis=-1)
+        cur = jnp.where(active_e, cur, 0)
+
+        node_vec = arrays.vectors[cur].astype(jnp.float32)  # [B, 1, D]
+        exact = pairwise_distance(q_lane[:, None, :], node_vec, params.metric)
+
+        beam_vis = beam_vis.at[rows[:, None], idx_e].max(active_e)
+        seed_vis = seed_vis | jnp.any(
+            (cur[:, :, None] == seed_slots[:, None, :]) & active_e[:, :, None],
+            axis=1,
+        )
+        vis_cnt = vis_cnt + jnp.sum(active_e.astype(jnp.int32), axis=-1)
+
+        # Running top-k: shift-insert the visit's (exact, slot) pair into
+        # the sorted [B, K] buffer — replaces the visited log + final-pass
+        # sort result-identically (same (dist, slot) order; the membership
+        # guard drops the rare duplicate visit the log path dedups).
+        d_new = exact[:, 0]
+        s_new = cur[:, 0]
+        ins_ok = active_e[:, 0]
+        if allowed is not None:
+            ins_ok = ins_ok & allowed[jnp.maximum(s_new, 0)]
+        ins_ok = ins_ok & ~jnp.any(top_slot == s_new[:, None], axis=-1)
+        d_new = jnp.where(ins_ok, d_new, INF)
+        s_new = jnp.where(ins_ok, s_new, jnp.int32(2**31 - 1))
+        better = (top_dist < d_new[:, None]) | (
+            (top_dist == d_new[:, None]) & (top_slot < s_new[:, None])
+        )
+        pos = jnp.sum(better.astype(jnp.int32), axis=-1, keepdims=True)
+        pos_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+        shift_d = jnp.concatenate([top_dist[:, :1], top_dist[:, :-1]], axis=-1)
+        shift_s = jnp.concatenate([top_slot[:, :1], top_slot[:, :-1]], axis=-1)
+        top_dist = jnp.where(
+            pos_k < pos, top_dist,
+            jnp.where(pos_k == pos, d_new[:, None], shift_d),
+        )
+        top_slot = jnp.where(
+            pos_k < pos, top_slot,
+            jnp.where(pos_k == pos, s_new[:, None], shift_s),
+        )
+        top_slot = jnp.where(jnp.isinf(top_dist), -1, top_slot)
+
+        nbrs = arrays.neighbors[cur]  # [B, 1, R]
+        if assume_all_valid:
+            nbr_live = nbrs >= 0
+        else:
+            nbr_live = (nbrs >= 0) & arrays.valid[jnp.maximum(nbrs, 0)]
+        nbr_live = nbr_live & active_e[:, :, None]
+        if ternary_q:
+            q_pos, q_neg = encode_ternary(q_lane)
+        else:
+            q_pos = q_neg = jnp.zeros((B, 1), jnp.uint32)
+        edge_dist = _score_edges(
+            arrays, params, cur, q_lane, q_pos, q_neg, nbrs
+        )
+        nbrs_f = nbrs.reshape(B, R)
+        live_f = nbr_live.reshape(B, R)
+        dist_f = edge_dist.reshape(B, R)
+        in_beam = jnp.any(
+            (nbrs_f[:, :, None] == beam_slot[:, None, :])
+            & (beam_slot >= 0)[:, None, :],
+            axis=-1,
+        )
+        in_vis_seed = jnp.any(
+            (nbrs_f[:, :, None] == seed_slots[:, None, :])
+            & seed_vis[:, None, :],
+            axis=-1,
+        )
+        cand_ok = live_f & ~in_beam & ~in_vis_seed
+        cand_dist = jnp.where(cand_ok, dist_f, INF)
+        cand_slot = jnp.where(cand_ok, nbrs_f, -1)
+        new_dist, new_slot, new_vis = topk_ops.merge_beams(
+            beam_dist,
+            beam_slot,
+            cand_dist,
+            cand_slot,
+            L,
+            extras_a=(beam_vis.astype(jnp.int32),),
+            extras_b=(jnp.zeros_like(cand_slot),),
+            dedup=False,
+            a_sorted=True,
+            bitonic=params.bitonic,
+        )
+        new_slot = jnp.where(jnp.isinf(new_dist), -1, new_slot)
+
+        return _StreamState(
+            beam_dist=new_dist,
+            beam_slot=new_slot,
+            beam_vis=new_vis.astype(jnp.bool_),
+            seed_slots=seed_slots,
+            seed_vis=seed_vis,
+            top_dist=top_dist,
+            top_slot=top_slot,
+            q_lane=q_lane,
+            lane_q=lane_q,
+            vis_cnt=vis_cnt,
+            next_q=next_q,
+            out_slot=out_slot,
+            out_dist=out_dist,
+            out_vis=out_vis,
+            it=s.it + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return StreamSearchResult(
+        topk_slots=final.out_slot,
+        topk_dists=final.out_dist,
+        visited_count=final.out_vis,
+        hops=final.it,
+    )
+
+
 class ManySearchResult(NamedTuple):
     topk_slots: jnp.ndarray  # i32[NB, B, K]
     topk_dists: jnp.ndarray  # f32[NB, B, K]

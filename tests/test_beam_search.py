@@ -389,3 +389,129 @@ def test_adaptive_seed_sample_covers_live_tail(rng):
         view, jnp2.asarray(data[n_a + 250 : n_a + 251]), 2, 512, 32
     )
     assert (np.asarray(seeds) >= n_a).all(), np.asarray(seeds).tolist()
+
+
+# --------------------------------------------------------------------- #
+# Streaming lane-refill search (beam_search_stream): per-query results
+# must be bit-identical to the lock-step path — lane packing is a pure
+# scheduling change (SURVEY §7.3 skew rebatching).
+
+@pytest.mark.parametrize("metric,edge_type", [
+    (MetricType.COSINE, EdgeType.TERNARY),
+    (MetricType.L2, EdgeType.INT4),
+    (MetricType.L2, EdgeType.FLOAT32),
+])
+def test_stream_matches_batch(rng, metric, edge_type):
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search_stream
+
+    n, dims, k = 300, 16, 10
+    params = make_params(metric, edge_type, dims=dims)
+    oracle = OracleGraph(dims, params.r, metric, edge_type,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+
+    nq = 37  # ragged vs lanes=8: many refill waves
+    queries = rng.standard_normal((nq, dims)).astype(np.float32)
+    want = beam_search(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=params.l_search, k=k,
+    )
+    got = beam_search_stream(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=params.l_search, k=k, lanes=8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_slots), np.asarray(want.topk_slots))
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_dists), np.asarray(want.topk_dists))
+    np.testing.assert_array_equal(
+        np.asarray(got.visited_count), np.asarray(want.visited_count))
+    # Packing bound: total iterations within slack of ceil(visits/lanes).
+    total_visits = int(np.asarray(want.visited_count).sum())
+    assert int(got.hops) <= -(-total_visits // 8) + 2 * 8 + 40
+
+
+def test_stream_lanes_exceed_queries(rng):
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search_stream
+
+    n, dims, k = 120, 12, 5
+    params = make_params(MetricType.L2, EdgeType.INT8, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.L2, EdgeType.INT8,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+    queries = rng.standard_normal((3, dims)).astype(np.float32)
+    want = beam_search(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=params.l_search, k=k,
+    )
+    got = beam_search_stream(
+        arrays, jnp.asarray(queries), jnp.int32(oracle.entry_point),
+        params=params, l_search=params.l_search, k=k, lanes=64,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_slots), np.asarray(want.topk_slots))
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_dists), np.asarray(want.topk_dists))
+
+
+def test_stream_per_query_seeds_and_allowed(rng):
+    """Adaptive per-query seeds + filtered search through the stream path."""
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search_stream
+
+    n, dims, k = 200, 16, 8
+    params = make_params(MetricType.COSINE, EdgeType.TERNARY, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.COSINE, EdgeType.TERNARY,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    oracle.build(range(n), data)
+    arrays = oracle_to_arrays(oracle, params)
+
+    nq = 19
+    queries = rng.standard_normal((nq, dims)).astype(np.float32)
+    seeds = rng.integers(0, n, (nq, 3)).astype(np.int32)
+    allowed = np.zeros(n, bool)
+    allowed[rng.choice(n, 80, replace=False)] = True
+    want = beam_search(
+        arrays, jnp.asarray(queries), jnp.asarray(seeds),
+        params=params, l_search=params.l_search, k=k,
+        allowed=jnp.asarray(allowed),
+    )
+    got = beam_search_stream(
+        arrays, jnp.asarray(queries), jnp.asarray(seeds),
+        params=params, l_search=params.l_search, k=k, lanes=4,
+        allowed=jnp.asarray(allowed),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_slots), np.asarray(want.topk_slots))
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_dists), np.asarray(want.topk_dists))
+
+
+def test_stream_zombie_edges(rng):
+    """Tombstoned targets filtered identically (assume_all_valid=False)."""
+    from duckdb_lm_diskann_tpu.core.searcher import beam_search_stream
+
+    dims = 8
+    params = make_params(MetricType.COSINE, EdgeType.TERNARY, dims=dims)
+    oracle = OracleGraph(dims, params.r, MetricType.COSINE, EdgeType.TERNARY,
+                         params.alpha, params.l_insert, params.l_search)
+    data = rng.standard_normal((60, dims)).astype(np.float32)
+    oracle.build(range(60), data)
+    arrays = oracle_to_arrays(oracle, params)
+    arrays = arrays._replace(valid=arrays.valid.at[7].set(False))
+    queries = rng.standard_normal((9, dims)).astype(np.float32)
+    want = beam_search(
+        arrays, jnp.asarray(queries), jnp.int32(0),
+        params=params, l_search=16, k=10,
+    )
+    got = beam_search_stream(
+        arrays, jnp.asarray(queries), jnp.int32(0),
+        params=params, l_search=16, k=10, lanes=4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.topk_slots), np.asarray(want.topk_slots))
+    assert not np.any(np.asarray(got.topk_slots) == 7)
