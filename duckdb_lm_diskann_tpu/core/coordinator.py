@@ -40,7 +40,7 @@ from .graph import (
     grow_graph_arrays,
     make_graph_arrays,
 )
-from .searcher import beam_search, beam_search_many
+from .searcher import beam_search, beam_search_many, beam_search_stream
 
 _MIN_CAPACITY = 1024
 
@@ -376,6 +376,8 @@ class Coordinator:
         batch_size: int | None = None,
         adaptive_seeds: int = 0,
         seed_sample: int = 4096,
+        stream: bool = False,
+        lanes: int = 1024,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
@@ -402,7 +404,13 @@ class Coordinator:
         the global entry point — the IVF-style entry fix for clustered
         corpora (+2.4% recall@10 on the HARD corpus at the same visit
         budget). Off by default: the reference semantics (single global
-        entry) stay the parity-pinned behavior; overrides ``n_seeds``."""
+        entry) stay the parity-pinned behavior; overrides ``n_seeds``.
+
+        ``stream``: run through searcher.beam_search_stream — ``lanes``
+        device lanes with continuous refill from the query queue (the
+        skew-aware rebatching path; result-identical, beam_width must be
+        1). Preferred for large query sets on skewed corpora where the
+        lock-step batch waits on stragglers."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.config.dimensions:
             raise ValueError(
@@ -438,7 +446,32 @@ class Coordinator:
                 )
             )
         t0 = time.perf_counter()
-        if batch_size is not None and B > batch_size:
+        if stream:
+            if beam_width != 1:
+                raise ValueError("stream search supports beam_width=1 only")
+            entry = (
+                self._pick_adaptive(
+                    view, jnp.asarray(queries), adaptive_seeds, seed_sample, L
+                )
+                if adaptive_seeds > 0
+                else jnp.asarray(seeds)
+            )
+            sres = beam_search_stream(
+                view.arrays,
+                jnp.asarray(queries),
+                entry,
+                params=self.params,
+                l_search=L,
+                k=k,
+                lanes=lanes,
+                allowed=allowed,
+                assume_all_valid=not view.ever_tombstoned,
+            )
+            slots = np.asarray(sres.topk_slots)
+            dists = np.asarray(sres.topk_dists)
+            visited = int(np.asarray(sres.visited_count).sum())
+            hops = int(sres.hops)
+        elif batch_size is not None and B > batch_size:
             # Pipelined multi-batch path: pad B to a multiple of batch_size
             # (repeating the first query — results for pad lanes are
             # computed and discarded) and scan batches inside one dispatch.

@@ -515,3 +515,37 @@ def test_stream_zombie_edges(rng):
     np.testing.assert_array_equal(
         np.asarray(got.topk_slots), np.asarray(want.topk_slots))
     assert not np.any(np.asarray(got.topk_slots) == 7)
+
+
+def test_coordinator_stream_search_matches(rng):
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.common.types import VectorType
+
+    n, dims = 400, 12
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT4,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    coord.bulk_build(list(range(n)), data, max_batch=64)
+    q = rng.standard_normal((23, dims)).astype(np.float32)
+    ids_a, d_a = coord.search(q, 5)
+    ids_s, d_s = coord.search(q, 5, stream=True, lanes=4)
+    np.testing.assert_array_equal(ids_a, ids_s)
+    np.testing.assert_array_equal(d_a, d_s)
+    # adaptive seeds through the stream path too
+    ids_b, d_b = coord.search(q, 5, adaptive_seeds=2, seed_sample=64)
+    ids_t, d_t = coord.search(q, 5, adaptive_seeds=2, seed_sample=64,
+                              stream=True, lanes=8)
+    np.testing.assert_array_equal(ids_b, ids_t)
+    np.testing.assert_array_equal(d_b, d_t)
+    # deletes flip assume_all_valid; stream must honor the valid mask
+    coord.delete(list(range(0, 50)))
+    ids_c, d_c = coord.search(q, 5)
+    ids_u, d_u = coord.search(q, 5, stream=True, lanes=8)
+    np.testing.assert_array_equal(ids_c, ids_u)
+    np.testing.assert_array_equal(d_c, d_u)
