@@ -34,8 +34,12 @@ from duckdb_lm_diskann_tpu.ops.distance import pairwise_distance
 from duckdb_lm_diskann_tpu.ops.quantize import decode_int4
 from duckdb_lm_diskann_tpu.common.types import MetricType
 
-B, L, R, D = 1024, 100, 64, 128
-CAP = 1 << 20
+import os
+
+B = int(os.environ.get("PROF_B", 1024))
+L = int(os.environ.get("PROF_L", 100))
+R, D = 64, 128
+CAP = 1 << int(os.environ.get("PROF_CAP_LOG2", 20))
 V = 4 * L
 metric = MetricType.L2
 ITERS_LO, ITERS_HI = 48, 160
@@ -184,6 +188,11 @@ def main():
     rng2 = np.random.default_rng(7)
     seeds = [jnp.asarray(rng2.integers(0, CAP, B, dtype=np.int32))
              for _ in range(8)]
+    # PROF_VALID=0: knock nbrlive out of EVERY config — profiles the
+    # serving hop (assume_all_valid=True skips the validity gather).
+    base = {} if os.environ.get("PROF_VALID", "1") != "0" else dict(
+        nbrlive=False
+    )
     for name, kw in [
         ("full", {}),
         ("-escore", dict(escore=False)),
@@ -197,6 +206,7 @@ def main():
                            inbeam=False, vislog=False, merge=False,
                            seedvis=False)),
     ]:
+        kw = {**base, **kw}
         ms = _time_loop(lambda it, kw=kw: make_loop(it, **kw), seeds)
         print(f"{name:10s}: {ms:.3f} ms/hop", flush=True)
 

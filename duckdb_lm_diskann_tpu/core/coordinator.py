@@ -44,6 +44,12 @@ from .searcher import beam_search, beam_search_many, beam_search_stream
 
 _MIN_CAPACITY = 1024
 
+# Interactive-serving batch buckets (search(pad_to_bucket=True)): ad-hoc
+# batch sizes pad up to one of these, bounding compiled-program count (XLA
+# retraces per distinct static shape; first compile on the tunneled TPU
+# backend costs ~20-40 s — far beyond any interactive budget).
+SERVING_BUCKETS = (1, 8, 64, 256, 1024)
+
 
 class ReadView(NamedTuple):
     """Immutable point-in-time handle set for lock-free reads.
@@ -378,6 +384,7 @@ class Coordinator:
         seed_sample: int = 4096,
         stream: bool = False,
         lanes: int = 1024,
+        pad_to_bucket: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (rowids i64[B, k], dists f32[B, k]);
         empty slots are (-1, +inf) — fewer than k results happens only when
@@ -410,7 +417,13 @@ class Coordinator:
         device lanes with continuous refill from the query queue (the
         skew-aware rebatching path; result-identical, beam_width must be
         1). Preferred for large query sets on skewed corpora where the
-        lock-step batch waits on stragglers."""
+        lock-step batch waits on stragglers.
+
+        ``pad_to_bucket``: interactive serving — pad the query count up to
+        the nearest of SERVING_BUCKETS (1, 8, 64, 256, 1024) with repeats
+        of the first query (computed, discarded), so ad-hoc batch sizes
+        reuse at most len(SERVING_BUCKETS) compiled programs instead of
+        retracing per distinct B (XLA static shapes; VERDICT r4 item 6)."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.config.dimensions:
             raise ValueError(
@@ -445,6 +458,18 @@ class Coordinator:
                     np.asarray(allowed_rowids, np.int64),
                 )
             )
+        n_real = B
+        if pad_to_bucket and not stream and (
+            batch_size is None or B <= batch_size
+        ):
+            bucket = next((b for b in SERVING_BUCKETS if b >= B), None)
+            if bucket is not None and bucket != B:
+                padded = np.broadcast_to(
+                    queries[:1], (bucket, queries.shape[1])
+                ).copy()
+                padded[:B] = queries
+                queries = padded
+                B = bucket
         t0 = time.perf_counter()
         if stream:
             if beam_width != 1:
@@ -536,6 +561,7 @@ class Coordinator:
             distance_ops=visited * (self.params.r + 1) + B * len(seeds),
             wall_time_s=wall,
         )
+        slots, dists = slots[:n_real], dists[:n_real]  # drop bucket pads
         rowids = np.where(
             slots >= 0,
             view.slot_rowids[np.maximum(slots, 0)],

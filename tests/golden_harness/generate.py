@@ -46,7 +46,7 @@ def build_harness(workdir: str) -> str:
 
 def run_scenario(exe, name, *, n, dims, metric, seed, maxnbrs, insert_l,
                  search_l, ops_fn, vec_lo=-60, vec_hi=61, n_queries=16,
-                 adj_every=1):
+                 adj_every=1, compress=False):
     """ops_fn(n, n_queries) -> list of op strings (vec indices >= n are
     query vectors)."""
     rng = np.random.default_rng(seed)
@@ -78,9 +78,16 @@ def run_scenario(exe, name, *, n, dims, metric, seed, maxnbrs, insert_l,
         "ops": lines[1:],
     }
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    path = os.path.join(GOLDEN_DIR, f"{name}.json")
-    with open(path, "w") as f:
-        json.dump(golden, f, separators=(",", ":"))
+    if compress:  # 20k-scale traces are ~13 MB raw; gzip to ~25%
+        import gzip
+
+        path = os.path.join(GOLDEN_DIR, f"{name}.json.gz")
+        with gzip.open(path, "wt", compresslevel=9) as f:
+            json.dump(golden, f, separators=(",", ":"))
+    else:
+        path = os.path.join(GOLDEN_DIR, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(golden, f, separators=(",", ":"))
     print(f"wrote {path}: {len(lines) - 1} ops, "
           f"{os.path.getsize(path) // 1024} KiB")
     return golden
@@ -189,6 +196,20 @@ def main():
             # (sums < 2^24) while making ties vanish.
             vec_lo=-600, vec_hi=601,
         )
+        if os.environ.get("GOLDEN_20K", "1") != "0":
+            run_scenario(
+                # 20k-row lifecycle (VERDICT r4 item 5: parity evidence at
+                # 10x the 5k scenario — zombie accumulation, entry drift
+                # and replace/prune interactions in their bulk regime).
+                # dims=10 (not 8): at +-600 integer coordinates the exact-
+                # f32 constraint is 10*(1200^2)=14.4M < 2^24, and the two
+                # extra dims keep rank-boundary distance ties vanishingly
+                # rare at 20k rows where 8 dims would start colliding.
+                exe, "l2_lifecycle_20k", n=20000, dims=10, metric="l2",
+                seed=8008, maxnbrs=8, insert_l=20, search_l=32,
+                ops_fn=ops_lifecycle_big, n_queries=32, adj_every=0,
+                vec_lo=-600, vec_hi=601, compress=True,
+            )
     return 0
 
 

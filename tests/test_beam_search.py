@@ -549,3 +549,29 @@ def test_coordinator_stream_search_matches(rng):
     ids_u, d_u = coord.search(q, 5, stream=True, lanes=8)
     np.testing.assert_array_equal(ids_c, ids_u)
     np.testing.assert_array_equal(d_c, d_u)
+
+
+def test_search_pad_to_bucket(rng):
+    """Bucketed interactive serving: results identical, pads discarded,
+    and odd batch sizes map onto the pinned bucket set."""
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.common.types import VectorType
+
+    n, dims = 300, 10
+    data = rng.standard_normal((n, dims)).astype(np.float32)
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=32,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg)
+    coord.bulk_build(list(range(n)), data, max_batch=64)
+    for nb in (1, 3, 7, 9):
+        q = rng.standard_normal((nb, dims)).astype(np.float32)
+        ids_a, d_a = coord.search(q, 5)
+        ids_b, d_b = coord.search(q, 5, pad_to_bucket=True)
+        assert ids_b.shape == (nb, 5)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        np.testing.assert_array_equal(d_a, d_b)

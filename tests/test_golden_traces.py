@@ -39,17 +39,33 @@ from .oracle import OracleGraph
 from .oracle_libsql import LibsqlDiskann
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-ALL_TRACES = sorted(
+_FAST = sorted(
     f[:-5] for f in os.listdir(GOLDEN_DIR) if f.endswith(".json")
 )
+_BIG = sorted(  # gzip-compressed 20k-scale traces: multi-minute replays
+    f[: -len(".json.gz")]
+    for f in os.listdir(GOLDEN_DIR)
+    if f.endswith(".json.gz")
+)
+ALL_TRACES = _FAST + [
+    pytest.param(t, marks=pytest.mark.slow) for t in _BIG
+]
+BIG_TRACES = [pytest.param(t, marks=pytest.mark.slow) for t in _BIG]
 # Scenarios whose first snapshot precedes any delete (zombie-free graphs):
 # the engine/oracle search-on-snapshot parity layer uses these.
-BUILD_TRACES = [t for t in ALL_TRACES if "lifecycle" not in t]
+BUILD_TRACES = [t for t in _FAST if "lifecycle" not in t]
 
 
 def load(name):
-    with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as f:
-        g = json.load(f)
+    gz = os.path.join(GOLDEN_DIR, f"{name}.json.gz")
+    if os.path.exists(gz):
+        import gzip
+
+        with gzip.open(gz, "rt") as f:
+            g = json.load(f)
+    else:
+        with open(os.path.join(GOLDEN_DIR, f"{name}.json")) as f:
+            g = json.load(f)
     return g, g["meta"], np.asarray(g["vectors"], np.float32)
 
 
@@ -117,7 +133,10 @@ def oracle_graph_from_snapshot(m, vecs, snap):
     return og
 
 
-@pytest.mark.parametrize("name", BUILD_TRACES + ["l2_lifecycle_5k", "cos_lifecycle_5k"])
+@pytest.mark.parametrize(
+    "name",
+    BUILD_TRACES + ["l2_lifecycle_5k", "cos_lifecycle_5k"] + BIG_TRACES,
+)
 def test_engine_spec_oracle_matches_reference_search(name):
     """Layer 2: tests/oracle.py search == reference C search (visit order
     AND top-k) on the zombie-free post-build graph — including the
@@ -136,7 +155,10 @@ def test_engine_spec_oracle_matches_reference_search(name):
         assert topk == op["topk"]
 
 
-@pytest.mark.parametrize("name", BUILD_TRACES + ["l2_lifecycle_5k", "cos_lifecycle_5k"])
+@pytest.mark.parametrize(
+    "name",
+    BUILD_TRACES + ["l2_lifecycle_5k", "cos_lifecycle_5k"] + BIG_TRACES,
+)
 def test_engine_matches_reference_search(name):
     """Layer 3: the jitted engine beam_search == reference C search (visit
     order and top-k), up to the 5,000-row scenario."""
