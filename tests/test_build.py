@@ -199,3 +199,55 @@ def test_insert_visit_cap_never_binds_at_parity_settings(rng):
     for i in range(n):
         got = [int(s) for s in nbrs[i] if s >= 0]
         assert got == oracle.neighbors[i], f"node {i}"
+
+
+def test_refine_pass_preserves_reachability_and_improves_recall(rng):
+    """Post-build refine (Vamana second pass): graph stays fully reachable
+    (the repair half restores any evicted last in-link) and brute-force
+    recall does not regress on a clustered corpus."""
+    import numpy as np
+    from duckdb_lm_diskann_tpu.common.types import (
+        EdgeType, MetricType, VectorType,
+    )
+    from duckdb_lm_diskann_tpu.core.config import LmDiskannConfig
+    from duckdb_lm_diskann_tpu.core.coordinator import Coordinator
+    from duckdb_lm_diskann_tpu.utils.corpora import make_hard_corpus
+
+    n, dims, k = 800, 16, 10
+    gen, crng = make_hard_corpus(n, dims, seed=17, n_clusters=24)
+    data = gen(n)
+    cfg = LmDiskannConfig(
+        metric_type=MetricType.L2, r=8, l_insert=16, l_search=48,
+        dimensions=dims, node_vector_type=VectorType.FLOAT32,
+        edge_type=EdgeType.INT8,
+    )
+    cfg.validate()
+    coord = Coordinator(cfg, initial_capacity=n)
+    coord.bulk_build(list(range(n)), data, max_batch=128)
+
+    queries = data[crng.integers(0, n, 64)] + 0.01 * crng.standard_normal(
+        (64, dims)
+    ).astype(np.float32)
+    d2 = ((queries[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(d2, axis=1)[:, :k]
+
+    def recall():
+        ids, _ = coord.search(queries, k)
+        return np.mean([
+            len(set(ids[i].tolist()) & set(truth[i].tolist())) / k
+            for i in range(len(queries))
+        ])
+
+    before = recall()
+    refined = coord.refine(max_batch=256)
+    assert refined == n
+    # Full reachability after refine+repair.
+    from duckdb_lm_diskann_tpu.core.builder import reachable_mask
+    reach = np.asarray(reachable_mask(
+        np.asarray(coord.arrays.neighbors), np.asarray(coord.arrays.valid),
+        coord.entry_slot,
+    ))
+    live = np.asarray(coord.arrays.valid)
+    assert (reach[live]).all(), "refine stranded nodes"
+    after = recall()
+    assert after >= before - 0.02, (before, after)
