@@ -25,7 +25,12 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     mb = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     dims = 128
+    import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from bench import make_corpus
     from duckdb_lm_diskann_tpu.common.types import (
@@ -52,7 +57,10 @@ def main():
     _sync(coord.arrays)
     print(f"# built n={n} in {time.perf_counter()-t0:.1f}s", flush=True)
 
-    # steady insert batches, end-to-end
+    # steady insert batches, end-to-end — in bulk mode (padded to the
+    # pinned shape) so they reuse the build's compiled program.
+    coord.max_insert_batch = mb
+    coord._pad_bulk = True
     t1 = time.perf_counter()
     coord.insert(list(range(n, n + 2 * mb)), data[n : n + 2 * mb])
     _sync(coord.arrays)

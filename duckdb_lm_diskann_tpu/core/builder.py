@@ -724,6 +724,12 @@ def insert_step(
     # pair gather is ~8 GB and the XLA compile itself exceeds HBM).
     cap = arrays.capacity
     accepted0 = jnp.zeros((cap + 1,), jnp.int32)
+    # Per-target "neighbor list actually changed" mark (row cap = scratch
+    # for masked writes): the deferred edge-code refresh re-encodes ONLY
+    # changed targets — replace_edge_lists rejects ~half its candidates
+    # (domination/full-list), and refreshing a rejected target is an
+    # expensive no-op ([CH, R, D] gather + encode per chunk).
+    changed0 = jnp.zeros((cap + 1,), jnp.bool_)
     vectors = arrays.vectors
 
     P = tgt_s.shape[0]
@@ -737,7 +743,7 @@ def insert_step(
         pair_ok = jnp.pad(pair_ok, (0, pad_p), constant_values=False)
 
     def recip_step(i, carry):
-        nbrs_tbl, accepted = carry
+        nbrs_tbl, accepted, changed = carry
         r = i // nch
         c = i % nch
 
@@ -752,7 +758,7 @@ def insert_step(
         # (round, chunk) combo skips its [CH, R, D] neighbor-vector
         # gathers entirely instead of computing a fully-masked no-op.
         def do_step(carry):
-            nbrs_tbl, accepted = carry
+            nbrs_tbl, accepted, changed = carry
             t_r = jnp.where(active, sl(tgt_s), -1)
             c_r = jnp.where(active, sl(src_s), -1)
             nbrs_tbl, do = replace_edge_lists(
@@ -760,14 +766,17 @@ def insert_step(
             )
             at = jnp.where(do & (c_r >= 0), c_r, cap)
             accepted = accepted.at[at].max(jnp.ones_like(at))
-            return nbrs_tbl, accepted
+            changed = changed.at[jnp.where(do, t_r, cap)].set(True)
+            return nbrs_tbl, accepted, changed
 
         return jax.lax.cond(
-            jnp.any(active), do_step, lambda carry: carry, (nbrs_tbl, accepted)
+            jnp.any(active), do_step, lambda carry: carry,
+            (nbrs_tbl, accepted, changed),
         )
 
-    nbrs_tbl, accepted = jax.lax.fori_loop(
-        0, recip_rounds * nch, recip_step, (arrays.neighbors, accepted0)
+    nbrs_tbl, accepted, changed = jax.lax.fori_loop(
+        0, recip_rounds * nch, recip_step,
+        (arrays.neighbors, accepted0, changed0),
     )
 
     # --- in-link guarantee: force-link rejected newcomers at their nearest
@@ -804,14 +813,21 @@ def insert_step(
     )
     arrays = arrays._replace(neighbors=nbrs_tbl)
 
-    # --- refresh target list: every touched target, deduped. tgt_s is
+    # --- refresh target list: every CHANGED target, deduped. tgt_s is
     # sorted by target, so duplicates are adjacent: keep first occurrences
-    # (the refresh scatter must never hit the same row twice). The caller
-    # runs the edge-code refresh in bounded chunks (insert_batch).
+    # (the refresh scatter must never hit the same row twice), keep only
+    # targets whose neighbor list a replace round actually rewrote
+    # (skipping an unchanged target is bit-identical — its codes already
+    # match its neighbors), and COMPACT the survivors to a prefix so the
+    # caller's fixed-size refresh chunks can skip all-empty tails via
+    # lax.cond (insert_step_fused). ~half the candidates are rejected by
+    # domination/full-list, so this halves the refresh stage.
     first_t = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), tgt_s[1:] != tgt_s[:-1]]
-    ) & pair_ok
-    refresh_t = jnp.where(first_t, tgt_s, -1)
+    ) & pair_ok & changed[jnp.minimum(tgt_s, cap)]
+    refresh_key = jnp.where(first_t, tgt_s, big)
+    refresh_key = jax.lax.sort(refresh_key)
+    refresh_t = jnp.where(refresh_key < big, refresh_key, -1)
     first_f = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), t_fs[1:] != t_fs[:-1]]
     ) & f_ok
@@ -856,10 +872,23 @@ def insert_step_fused(
     )
     CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
     for off in range(0, refresh_t.shape[0], CH):
-        arrays = refresh_edge_codes.__wrapped__(
-            arrays, refresh_t[off : off + CH], params=params
+        chunk = refresh_t[off : off + CH]
+        # The changed-target list is compacted to a prefix (insert_step):
+        # all-empty tail chunks skip their [CH, R, D] gather+encode whole.
+        arrays = jax.lax.cond(
+            jnp.any(chunk >= 0),
+            lambda a, c=chunk: refresh_edge_codes.__wrapped__(
+                a, c, params=params
+            ),
+            lambda a: a,
+            arrays,
         )
-    return refresh_edge_codes.__wrapped__(arrays, refresh_f, params=params)
+    return jax.lax.cond(
+        jnp.any(refresh_f >= 0),
+        lambda a: refresh_edge_codes.__wrapped__(a, refresh_f, params=params),
+        lambda a: a,
+        arrays,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
