@@ -394,7 +394,7 @@ def rescue_orphans_round(
                 jnp.where(active, a_s, -1),
                 jnp.where(active, t_s, -1),
                 params,
-            ),
+            )[0],
             lambda tbl: tbl,
             nbrs_tbl,
         )
@@ -470,7 +470,8 @@ def replace_edge_lists(
     tgt: jnp.ndarray,  # i32[U] target slots (-1 padded)
     new_c: jnp.ndarray,  # i32[U] ONE new candidate per target
     params: GraphParams,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    compact: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """libSQL's incremental edge insertion, vectorized over U targets,
     operating on the neighbor table only (edge-code refresh happens once
     after all rounds — see insert_step; carrying the multi-GB edge caches
@@ -495,7 +496,18 @@ def replace_edge_lists(
 
     Distances use prune_metric (non-negative; see GraphParams.prune_metric).
     Tie-break for the replacement slot: first (lowest index) maximal d(t,e).
-    Returns (updated neighbor table, accepted mask [U]).
+    Returns (updated neighbor table, accepted mask [U], written slot [U]).
+
+    ``compact``: left-pack the list after eviction (libSQL's
+    nodeBinDeleteEdge contiguity — the sequential/parity behavior). The
+    batched build passes False: holes stay in place (every consumer masks
+    on ``nbr >= 0``), which keeps the written slot index stable so the
+    caller can write the ONE new cached edge code directly instead of
+    re-encoding the target's whole R-row — the dominant cost of the
+    reciprocal pass at bulk-build scale. The edge SET is identical either
+    way; only slot layout differs (and with it, rare exact-tie eviction
+    choices, which the batched path — already a documented relaxation —
+    does not pin).
     """
     R = params.r
     valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
@@ -544,17 +556,18 @@ def replace_edge_lists(
     new_nbr = jnp.where(evict, -1, nbr)
     new_nbr = jnp.where(at_slot & do[:, None], new_c[:, None], new_nbr)
 
-    # Compact: libSQL's nodeBinDeleteEdge keeps edges contiguous
-    # (vectordiskann.c); stable left-pack preserving order.
-    empty_key = (new_nbr < 0).astype(jnp.int32)
-    pos_key = jnp.broadcast_to(cols, new_nbr.shape)
-    _, _, new_nbr = jax.lax.sort(
-        (empty_key, pos_key, new_nbr), dimension=-1, num_keys=2
-    )
+    if compact:
+        # Compact: libSQL's nodeBinDeleteEdge keeps edges contiguous
+        # (vectordiskann.c); stable left-pack preserving order.
+        empty_key = (new_nbr < 0).astype(jnp.int32)
+        pos_key = jnp.broadcast_to(cols, new_nbr.shape)
+        _, _, new_nbr = jax.lax.sort(
+            (empty_key, pos_key, new_nbr), dimension=-1, num_keys=2
+        )
 
     write_tgt = jnp.where(do, tgt, neighbors.shape[0])
     neighbors = neighbors.at[write_tgt].set(new_nbr, mode="drop")
-    return neighbors, do
+    return neighbors, do, slot
 
 
 def force_edge_lists(
@@ -563,14 +576,14 @@ def force_edge_lists(
     tgt: jnp.ndarray,  # i32[U] (-1 padded)
     new_c: jnp.ndarray,  # i32[U]
     params: GraphParams,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Unconditional edge insertion: first empty slot, else replace the
     farthest edge. Used as the in-link guarantee for nodes every regular
     replace/prune target rejected (dense regions can reject a newcomer at
     all of its visited nodes, leaving it with zero in-links — permanently
     unreachable; the reference inherits this failure mode from libSQL and
     papers over it with random entry points). Neighbor-table level, like
-    replace_edge_lists."""
+    replace_edge_lists. Returns (table, written slot [U], applied [U])."""
     R = params.r
     valid_t = (tgt >= 0) & (new_c >= 0) & (tgt != new_c)
     t_safe = jnp.maximum(tgt, 0)
@@ -598,7 +611,61 @@ def force_edge_lists(
         (cols == slot[:, None]) & do[:, None], new_c[:, None], nbr
     )
     write_tgt = jnp.where(do, tgt, neighbors.shape[0])
-    return neighbors.at[write_tgt].set(new_nbr, mode="drop")
+    return neighbors.at[write_tgt].set(new_nbr, mode="drop"), slot, do
+
+
+def write_single_edge_codes(
+    arrays: GraphArrays,
+    tgts: jnp.ndarray,  # i32[P] target slots (mask off with ok)
+    slots: jnp.ndarray,  # i32[P] edge slot within the target's row
+    cand_vecs: jnp.ndarray,  # f32[P, D] the new edge's vector
+    ok: jnp.ndarray,  # bool[P]
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """Write ONE cached edge code per (target, slot) pair — the batched
+    reciprocal pass's replacement for whole-row refresh (re-encoding all R
+    codes of a target when exactly one slot changed was the dominant
+    refresh cost). Same encoders as write_neighbor_rows, scattered at
+    (target, slot). (t, slot) pairs must be unique within one call — the
+    caller applies rounds sequentially."""
+    cap = arrays.capacity
+    t = jnp.where(ok, tgts, cap)  # row cap = out of bounds -> dropped
+    s = jnp.maximum(slots, 0)
+    et = params.edge_type
+    v = cand_vecs[:, None, :]  # [P, 1, D] (encoders take [T, R, D])
+    new = {
+        "dirty_rows": arrays.dirty_rows.at[t].set(True, mode="drop"),
+    }
+    if et is EdgeType.TERNARY:
+        pos, neg = encode_ternary(v)
+        new["edge_pos"] = arrays.edge_pos.at[t, s].set(pos[:, 0], mode="drop")
+        new["edge_neg"] = arrays.edge_neg.at[t, s].set(neg[:, 0], mode="drop")
+    elif et is EdgeType.INT8:
+        codes, scale = encode_int8(v)
+        new["edge_i8"] = arrays.edge_i8.at[t, s].set(codes[:, 0], mode="drop")
+        new["edge_scale"] = arrays.edge_scale.at[t, s].set(
+            scale[:, 0], mode="drop"
+        )
+    elif et is EdgeType.INT4:
+        codes, scale = encode_int4(v)
+        new["edge_i4"] = arrays.edge_i4.at[t, s].set(codes[:, 0], mode="drop")
+        new["edge_scale"] = arrays.edge_scale.at[t, s].set(
+            scale[:, 0], mode="drop"
+        )
+    elif et is EdgeType.FLOAT32:
+        new["edge_f32"] = arrays.edge_f32.at[t, s].set(
+            cand_vecs, mode="drop"
+        )
+    elif et is EdgeType.FLOAT16:
+        new["edge_f32"] = arrays.edge_f32.at[t, s].set(
+            cand_vecs.astype(jnp.float16), mode="drop"
+        )
+    elif et is EdgeType.FLOAT1BIT:
+        pos, _ = encode_ternary(v)
+        new["edge_pos"] = arrays.edge_pos.at[t, s].set(pos[:, 0], mode="drop")
+    # EdgeType.NONE: nothing cached.
+    return arrays._replace(**new)
 
 
 # Reciprocal-pass width for bulk batches: each new node reciprocates with
@@ -743,7 +810,7 @@ def insert_step(
         pair_ok = jnp.pad(pair_ok, (0, pad_p), constant_values=False)
 
     def recip_step(i, carry):
-        nbrs_tbl, accepted, changed = carry
+        nbrs_tbl, accepted, changed, pairslot = carry
         r = i // nch
         c = i % nch
 
@@ -758,25 +825,35 @@ def insert_step(
         # (round, chunk) combo skips its [CH, R, D] neighbor-vector
         # gathers entirely instead of computing a fully-masked no-op.
         def do_step(carry):
-            nbrs_tbl, accepted, changed = carry
+            nbrs_tbl, accepted, changed, pairslot = carry
             t_r = jnp.where(active, sl(tgt_s), -1)
             c_r = jnp.where(active, sl(src_s), -1)
-            nbrs_tbl, do = replace_edge_lists(
-                vectors, nbrs_tbl, t_r, c_r, params
+            nbrs_tbl, do, w_slot = replace_edge_lists(
+                vectors, nbrs_tbl, t_r, c_r, params,
+                # Sequential/parity inserts keep libSQL's left-packed
+                # lists; batched builds keep holes in place so the written
+                # slot stays valid for the single-edge code write below.
+                compact=full_visited,
             )
             at = jnp.where(do & (c_r >= 0), c_r, cap)
             accepted = accepted.at[at].max(jnp.ones_like(at))
             changed = changed.at[jnp.where(do, t_r, cap)].set(True)
-            return nbrs_tbl, accepted, changed
+            merged = jnp.where(do, w_slot, jax.lax.dynamic_slice_in_dim(
+                pairslot, c * CH, CH))
+            pairslot = jax.lax.dynamic_update_slice_in_dim(
+                pairslot, merged, c * CH, 0
+            )
+            return nbrs_tbl, accepted, changed, pairslot
 
         return jax.lax.cond(
             jnp.any(active), do_step, lambda carry: carry,
-            (nbrs_tbl, accepted, changed),
+            (nbrs_tbl, accepted, changed, pairslot),
         )
 
-    nbrs_tbl, accepted, changed = jax.lax.fori_loop(
+    pairslot0 = jnp.full((tgt_s.shape[0],), -1, jnp.int32)
+    nbrs_tbl, accepted, changed, pairslot = jax.lax.fori_loop(
         0, recip_rounds * nch, recip_step,
-        (arrays.neighbors, accepted0, changed0),
+        (arrays.neighbors, accepted0, changed0, pairslot0),
     )
 
     # --- in-link guarantee: force-link rejected newcomers at their nearest
@@ -793,45 +870,78 @@ def insert_step(
     rank_f = _rank_within_group(t_fs, big)
     f_ok = t_fs < big
 
-    def force_round(r, nbrs_tbl):
+    def force_round(r, carry):
+        nbrs_tbl, fslot = carry
         active = f_ok & (rank_f == r)
-        return jax.lax.cond(
-            jnp.any(active),
-            lambda tbl: force_edge_lists(
+
+        def do_force(carry):
+            nbrs_tbl, fslot = carry
+            nbrs_tbl, w_slot, f_do = force_edge_lists(
                 vectors,
-                tbl,
+                nbrs_tbl,
                 jnp.where(active, t_fs, -1),
                 jnp.where(active, c_fs, -1),
                 params,
-            ),
-            lambda tbl: tbl,
-            nbrs_tbl,
+            )
+            fslot = jnp.where(active & f_do, w_slot, fslot)
+            return nbrs_tbl, fslot
+
+        return jax.lax.cond(
+            jnp.any(active), do_force, lambda c: c, (nbrs_tbl, fslot)
         )
 
-    nbrs_tbl = jax.lax.fori_loop(
-        0, min(_FORCE_ROUNDS, M), force_round, nbrs_tbl
+    fslot0 = jnp.full((t_fs.shape[0],), -1, jnp.int32)
+    nbrs_tbl, fslot = jax.lax.fori_loop(
+        0, min(_FORCE_ROUNDS, M), force_round, (nbrs_tbl, fslot0)
     )
     arrays = arrays._replace(neighbors=nbrs_tbl)
 
-    # --- refresh target list: every CHANGED target, deduped. tgt_s is
-    # sorted by target, so duplicates are adjacent: keep first occurrences
-    # (the refresh scatter must never hit the same row twice), keep only
-    # targets whose neighbor list a replace round actually rewrote
-    # (skipping an unchanged target is bit-identical — its codes already
-    # match its neighbors), and COMPACT the survivors to a prefix so the
-    # caller's fixed-size refresh chunks can skip all-empty tails via
-    # lax.cond (insert_step_fused). ~half the candidates are rejected by
-    # domination/full-list, so this halves the refresh stage.
-    first_t = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), tgt_s[1:] != tgt_s[:-1]]
-    ) & pair_ok & changed[jnp.minimum(tgt_s, cap)]
-    refresh_key = jnp.where(first_t, tgt_s, big)
-    refresh_key = jax.lax.sort(refresh_key)
-    refresh_t = jnp.where(refresh_key < big, refresh_key, -1)
-    first_f = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), t_fs[1:] != t_fs[:-1]]
-    ) & f_ok
-    refresh_f = jnp.where(first_f, t_fs, -1)
+    if not full_visited:
+        # Batched path: the neighbor lists kept slot positions stable
+        # (compact=False above), so the cached edge codes are patched with
+        # ONE write per applied (target, slot) pair — whole-row refresh is
+        # only needed on the sequential/parity path. Rounds are applied in
+        # order so a slot rewritten by a later round lands last; within a
+        # round targets are unique, so (t, slot) pairs cannot collide.
+        src_vecs = vectors[jnp.maximum(src_s, 0)].astype(jnp.float32)
+        for r in range(recip_rounds):
+            arrays = write_single_edge_codes(
+                arrays, tgt_s, pairslot, src_vecs,
+                pair_ok & (rank == r) & (pairslot >= 0),
+                params=params,
+            )
+        f_vecs = vectors[jnp.maximum(c_fs, 0)].astype(jnp.float32)
+        for r in range(min(_FORCE_ROUNDS, M)):
+            arrays = write_single_edge_codes(
+                arrays, t_fs, fslot, f_vecs,
+                f_ok & (rank_f == r) & (fslot >= 0),
+                params=params,
+            )
+
+    # --- refresh target list (sequential/parity path only: compacted
+    # lists shuffle slot positions, so every CHANGED target re-encodes its
+    # whole row; the batched path patched codes per-slot above and needs
+    # no refresh). tgt_s is sorted by target, so duplicates are adjacent:
+    # keep first occurrences (the refresh scatter must never hit the same
+    # row twice), keep only targets whose neighbor list a replace round
+    # actually rewrote (skipping an unchanged target is bit-identical —
+    # its codes already match its neighbors), and COMPACT the survivors to
+    # a prefix so the caller's fixed-size refresh chunks can skip
+    # all-empty tails via lax.cond (insert_step_fused).
+    if full_visited:
+        first_t = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), tgt_s[1:] != tgt_s[:-1]]
+        ) & pair_ok & changed[jnp.minimum(tgt_s, cap)]
+        refresh_key = jnp.where(first_t, tgt_s, big)
+        refresh_key = jax.lax.sort(refresh_key)
+        refresh_t = jnp.where(refresh_key < big, refresh_key, -1)
+        first_f = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), t_fs[1:] != t_fs[:-1]]
+        ) & f_ok
+        refresh_f = jnp.where(first_f, t_fs, -1)
+    else:
+        refresh_t = jnp.full_like(tgt_s, -1)
+        refresh_f = jnp.full_like(t_fs, -1)
     return arrays, refresh_t, refresh_f
 
 

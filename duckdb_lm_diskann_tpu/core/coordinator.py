@@ -962,7 +962,7 @@ class Coordinator:
                     a_dev,
                     jnp.where(a_dev >= 0, o_dev, -1),
                     self.params,
-                ),
+                )[0],
                 dirty_rows=self.arrays.dirty_rows.at[
                     jnp.where(a_dev >= 0, a_dev, self.capacity)
                 ].set(True, mode="drop"),

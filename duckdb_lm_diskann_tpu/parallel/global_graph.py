@@ -139,7 +139,10 @@ class _PsumRowsAtIndexer:
 
     def _local_idx(self) -> jnp.ndarray:
         rows = self._rows
-        idx = jnp.asarray(self._idx)
+        # Row scatter (idx) or per-element (row, col) scatter — the latter
+        # is the builder's single-edge code write (write_single_edge_codes).
+        idx = self._idx[0] if isinstance(self._idx, tuple) else self._idx
+        idx = jnp.asarray(idx)
         c_local = rows.local.shape[0]
         me = jax.lax.axis_index(rows.axis)
         own = (idx >= 0) & ((idx // c_local) == me)
@@ -147,12 +150,18 @@ class _PsumRowsAtIndexer:
         # mode='drop' below the scatter skips them (never wraps).
         return jnp.where(own, idx % c_local, c_local)
 
+    def _indices(self):
+        li = self._local_idx()
+        if isinstance(self._idx, tuple):
+            return (li,) + tuple(self._idx[1:])
+        return (li,)
+
     def set(self, vals, mode: str = "drop"):
         if mode != "drop":
             raise NotImplementedError("PsumRows scatters require mode='drop'")
         rows = self._rows
         return PsumRows(
-            rows.local.at[self._local_idx()].set(vals, mode="drop"), rows.axis
+            rows.local.at[self._indices()].set(vals, mode="drop"), rows.axis
         )
 
     def add(self, vals, mode: str = "drop"):
@@ -160,7 +169,7 @@ class _PsumRowsAtIndexer:
             raise NotImplementedError("PsumRows scatters require mode='drop'")
         rows = self._rows
         return PsumRows(
-            rows.local.at[self._local_idx()].add(vals, mode="drop"), rows.axis
+            rows.local.at[self._indices()].add(vals, mode="drop"), rows.axis
         )
 
     def max(self, vals, mode: str = "drop"):
@@ -168,7 +177,7 @@ class _PsumRowsAtIndexer:
             raise NotImplementedError("PsumRows scatters require mode='drop'")
         rows = self._rows
         return PsumRows(
-            rows.local.at[self._local_idx()].max(vals, mode="drop"), rows.axis
+            rows.local.at[self._indices()].max(vals, mode="drop"), rows.axis
         )
 
 
@@ -529,7 +538,7 @@ def _g_force_links(
         nbrs = force_edge_lists(
             local.vectors, local.neighbors, adopters,
             jnp.where(adopters >= 0, orphans, -1), p,
-        )
+        )[0]
         cap = local.capacity
         dirty = local.dirty_rows.at[
             jnp.where(adopters >= 0, adopters, cap)
