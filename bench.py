@@ -475,6 +475,14 @@ def run_config(
         return float(ok.sum() / (total_q * k))
 
     recall_eps1 = eps_recall_of(res0, 0.01)
+    # Tie-aware recall (eps -> 0): counts a returned id as a hit iff its
+    # exact distance <= the k-th true distance (to ~1 ulp). On corpora with
+    # EXACT duplicate rows (the HARD stressor: 5%) the strict set-recall
+    # denominator is ill-defined at tie boundaries — argpartition picks an
+    # arbitrary member of each tied group — so this is the standard
+    # tie-insensitive counting rule (big-ann-benchmarks uses the same
+    # threshold form). Reported alongside, never instead of, strict recall.
+    recall_tie = eps_recall_of(res0, 1e-6)
     _log(f"# qps={qps:.0f} recall={recall:.4f} (left {_remaining():.0f}s)")
 
     # Recall-vs-L Pareto sweep (the paper's Fig. 4-5 methodology): beam
@@ -535,6 +543,7 @@ def run_config(
                     "l": L_a,
                     "qps": _round1(qps_a),
                     "recall_at_k": round(recall_of(ids_a), 4),
+                    "recall_tie_aware": round(eps_recall_of(res_a, 1e-6), 4),
                     "recall_eps1pct": round(eps_recall_of(res_a, 0.01), 4),
                 }
                 best_a.setdefault("sweep", []).append(pt)
@@ -581,6 +590,7 @@ def run_config(
             if err is not None
         },
         "recall_at_k": round(recall, 4),
+        "recall_tie_aware": round(recall_tie, 4),
         "recall_eps1pct": round(recall_eps1, 4),
         "k": k,
         "l_search": L,
