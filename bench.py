@@ -114,7 +114,7 @@ def run_config(
     *, n, dims, metric, edge_type, l_search, k, batch, n_queries,
     width, r=64, l_insert=128, seed=0xBE7C4, n_deletes=0,
     corpus="manifold", ab=True, batch_sweep=(), sweep_ls=(50, 75),
-    adaptive=False, lanes=1024, refine=False, b1=False,
+    adaptive=False, lanes=1024, refine=False, b1=False, max_batch=None,
 ):
     import dataclasses
 
@@ -163,7 +163,8 @@ def run_config(
         insert_beam_width=int(os.environ.get("BENCH_INSERT_W", 1)),
     )
     cfg.validate()
-    max_batch = int(os.environ.get("BENCH_MAX_BATCH", 2048))
+    if max_batch is None:
+        max_batch = int(os.environ.get("BENCH_MAX_BATCH", 2048))
 
     t0 = time.perf_counter()
     coord = Coordinator(cfg, initial_capacity=n)
@@ -785,6 +786,11 @@ def main() -> None:
             n=n2, dims=960, metric="cosine", edge_type="ternary",
             l_search=128, k=10, batch=256, n_queries=1024, width=width,
             seed=0x61577, ab=False, sweep_ls=(), lanes=256,
+            # 960d: the batched prune gathers [T, 256, 960] f32 candidate
+            # vectors (~1.9 GB at T=2048) on top of ~9.8 GB of persistent
+            # index state at 500k — T=1024 keeps the transient under
+            # ~1 GB (docs/SCALING.md memory table).
+            max_batch=1024,
         )),
     ]
     for key, n_cfg, kwargs in secondaries:
