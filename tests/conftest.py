@@ -22,12 +22,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache, shared by all xdist workers (JAX's cache is
-# multi-process safe). Root-causes the rare end-of-suite segfault inside
-# backend_compile_and_load: a worker that compiles hundreds of XLA-CPU
-# programs accumulates compile state until it can fall over; with the cache,
-# warm runs mostly *load* instead of compile. Also cuts warm suite wall time.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+# Persistent compilation cache, one directory PER xdist worker: warm runs
+# mostly *load* programs instead of compiling them, attacking the rare
+# end-of-suite segfault inside backend_compile_and_load (per-process
+# XLA-CPU compile-state accumulation) and cutting warm suite wall time.
+# Per-worker directories keep workers from ever touching one another's
+# cache files — a shared directory measured MORE worker crashes, not
+# fewer, under concurrent compile load.
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), ".jax_test_cache", _worker
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
