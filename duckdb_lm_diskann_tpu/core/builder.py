@@ -900,23 +900,33 @@ def insert_step(
         # Batched path: the neighbor lists kept slot positions stable
         # (compact=False above), so the cached edge codes are patched with
         # ONE write per applied (target, slot) pair — whole-row refresh is
-        # only needed on the sequential/parity path. Rounds are applied in
-        # order so a slot rewritten by a later round lands last; within a
-        # round targets are unique, so (t, slot) pairs cannot collide.
-        src_vecs = vectors[jnp.maximum(src_s, 0)].astype(jnp.float32)
-        for r in range(recip_rounds):
-            arrays = write_single_edge_codes(
-                arrays, tgt_s, pairslot, src_vecs,
-                pair_ok & (rank == r) & (pairslot >= 0),
-                params=params,
-            )
-        f_vecs = vectors[jnp.maximum(c_fs, 0)].astype(jnp.float32)
-        for r in range(min(_FORCE_ROUNDS, M)):
-            arrays = write_single_edge_codes(
-                arrays, t_fs, fslot, f_vecs,
-                f_ok & (rank_f == r) & (fslot >= 0),
-                params=params,
-            )
+        # only needed on the sequential/parity path. All recip + force
+        # writes collapse into a SINGLE deduplicated scatter: sort by
+        # (target, slot, application order) and keep each (t, slot)'s LAST
+        # write — a slot rewritten by a later round (or by the force pass,
+        # which runs after all recip rounds) wins, exactly matching the
+        # sequential application order. (A scatter per round measured as
+        # expensive as the whole-row refresh it replaced: TPU scatters pay
+        # a fixed per-row issue cost, so one 67k-row scatter beats ten.)
+        all_t = jnp.concatenate([tgt_s, t_fs])
+        all_s = jnp.concatenate([pairslot, fslot])
+        all_c = jnp.concatenate([src_s, c_fs])
+        all_ok = jnp.concatenate(
+            [pair_ok & (pairslot >= 0), f_ok & (fslot >= 0)]
+        )
+        all_ord = jnp.concatenate([rank, rank_f + recip_rounds])
+        t_key = jnp.where(all_ok, all_t, big)
+        s_key = jnp.where(all_ok, all_s, 0)
+        t_srt, s_srt, _, c_srt = jax.lax.sort(
+            (t_key, s_key, all_ord, all_c), num_keys=3
+        )
+        same = (t_srt[1:] == t_srt[:-1]) & (s_srt[1:] == s_srt[:-1])
+        is_last = jnp.concatenate([~same, jnp.ones((1,), jnp.bool_)])
+        ok2 = is_last & (t_srt < big)
+        w_vecs = vectors[jnp.maximum(c_srt, 0)].astype(jnp.float32)
+        arrays = write_single_edge_codes(
+            arrays, t_srt, s_srt, w_vecs, ok2, params=params
+        )
 
     # --- refresh target list (sequential/parity path only: compacted
     # lists shuffle slot positions, so every CHANGED target re-encodes its
