@@ -10,12 +10,18 @@ that make real ANN corpora navigable):
      edges alone are ~8.6 GB at this scale — past the single-chip execution
      envelope; INT4 halves HBM and gather bandwidth and holds recall).
      Reports build seconds (paper Table III: LM-DiskANN SIFT1M = 2467 s),
-     QPS, recall@10 (target >= 0.95), p50/p99 batch latency, and per-row
-     delete latency cold/steady (paper Table IV: ~45 ms).
-  2. HARD corpus (50k default): Zipf-clustered + anisotropic + duplicates —
+     QPS through the streaming lane-refill path (+ lock-step comparison),
+     recall@10 (strict / tie-aware / eps-1%), p50/p99 batch-64 latency,
+     B=1 interactive latency (wall + device-only), and per-row delete
+     latency cold/steady (paper Table IV: ~45 ms).
+  2. HARD corpus (100k default): Zipf-clustered + anisotropic + duplicates —
      the stressor where recall-vs-L actually moves (utils/corpora.py).
-  3. GIST-class: 100k x 960d, cosine, TERNARY edges + exact re-rank.
-  4. DEEP-class: 200k x 96d angular (cosine) with INT4 edges.
+     Runs the post-build refine pass (BENCH_REFINE=0 disables), adaptive
+     seeding, and the L<=200 sweep.
+  3. DEEP-1M: 1M x 96d angular (cosine), INT4 edges — paper Table II's
+     third family at paper scale.
+  4. GIST-max: 500k x 960d cosine, TERNARY edges — the largest single-chip
+     960d fit (docs/SCALING.md memory table).
 
 Output protocol (round-4 restructure; round 3 timed out and shipped NO
 driver-parsed number): stdout carries ONLY compact JSON summary lines —
@@ -40,12 +46,13 @@ dominated at B<=1024; see benchmarks/NOTES.md). The per-dispatch path is
 reported as qps_per_dispatch for comparison.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_D (128), BENCH_BATCH (1024),
-BENCH_BATCHES ("2048,4096" extra serving batch sizes), BENCH_QUERIES
+BENCH_BATCHES ("512,2048" extra stream lane counts), BENCH_QUERIES
 (4096), BENCH_L (100), BENCH_WIDTH (1), BENCH_EDGE (int4), BENCH_MAX_BATCH
 (2048 build batch; 2048 measured ~1.5x the 1024 steady build rate),
-BENCH_INSERT_W (1), BENCH_N2 (100_000 GIST; 0 disables), BENCH_N3 (200_000 DEEP),
-BENCH_N4 (50_000 HARD), BENCH_DELETES (1000), BENCH_DEEP (1; 0 skips the
-manual-DMA kernel A/B), BENCH_BUDGET_S (2400).
+BENCH_INSERT_W (1), BENCH_N2 (500_000 GIST-max; 0 disables), BENCH_N3
+(1_000_000 DEEP-1M), BENCH_N4 (100_000 HARD), BENCH_REFINE (1),
+BENCH_DELETES (1000), BENCH_DEEP (1; 0 skips the manual-DMA kernel A/B),
+BENCH_BUDGET_S (2400).
 """
 
 from __future__ import annotations
