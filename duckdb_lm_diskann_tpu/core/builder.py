@@ -780,6 +780,25 @@ def insert_step(
     pair_ok = tgt_s < big
     tgt_s = jnp.where(pair_ok, tgt_s, -1)
     src_s = jnp.where(pair_ok, src_s, -1)
+    if not full_visited:
+        # Rank-major pair layout: round r's active pairs become one
+        # CONTIGUOUS range, so the round loop's lax.cond skips every
+        # (round, chunk) combo outside it — in target-major order rank-1+
+        # pairs are sprinkled across ALL chunks and every round touches
+        # every chunk's [CH, R, D] neighbor gather. Pure scheduling:
+        # within a round targets are unique and updates commute, so
+        # results are bit-identical. (The sequential/parity path keeps
+        # target-major order — its refresh dedup relies on duplicate
+        # targets being adjacent.)
+        bigr = jnp.int32(2**30)
+        rkey = jnp.where(pair_ok, rank, bigr)
+        rkey, tgt_s, src_s = jax.lax.sort(
+            (rkey, tgt_s, src_s), num_keys=2
+        )
+        pair_ok = rkey < bigr
+        rank = jnp.where(pair_ok, rkey, -1)
+        tgt_s = jnp.where(pair_ok, tgt_s, -1)
+        src_s = jnp.where(pair_ok, src_s, -1)
 
     # The round loops carry ONLY (neighbor table, acceptance) — carrying the
     # full arrays pytree would make XLA double-buffer the multi-GB edge
