@@ -699,7 +699,10 @@ def _pair_chunk(p: int, r: int, d: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "full_visited", "recip_rounds", "all_valid"),
+    static_argnames=(
+        "params", "full_visited", "recip_rounds", "all_valid",
+        "defer_edge_writes",
+    ),
     donate_argnums=(0,),
 )
 def insert_step(
@@ -712,7 +715,8 @@ def insert_step(
     full_visited: bool,
     recip_rounds: int,
     all_valid: bool = False,
-) -> GraphArrays:
+    defer_edge_writes: bool = False,
+):
     """One whole batched insert as a single device program — store vectors,
     candidate search, RobustPrune, neighbor write, reciprocal replace/prune
     rounds, and the orphan in-link guarantee — with zero host round-trips.
@@ -942,10 +946,21 @@ def insert_step(
         same = (t_srt[1:] == t_srt[:-1]) & (s_srt[1:] == s_srt[:-1])
         is_last = jnp.concatenate([~same, jnp.ones((1,), jnp.bool_)])
         ok2 = is_last & (t_srt < big)
-        w_vecs = vectors[jnp.maximum(c_srt, 0)].astype(jnp.float32)
-        arrays = write_single_edge_codes(
-            arrays, t_srt, s_srt, w_vecs, ok2, params=params
-        )
+        if defer_edge_writes:
+            # Hand the write plan back for a separate donated dispatch:
+            # inside one huge fused program XLA may fail to alias the
+            # multi-GB edge-code scatters and materialize temp copies
+            # (measured 263 MB over HBM at the 1M headline shape); a
+            # standalone donated program aliases them by construction.
+            write_plan = (t_srt, s_srt, c_srt, ok2)
+        else:
+            w_vecs = vectors[jnp.maximum(c_srt, 0)].astype(jnp.float32)
+            arrays = write_single_edge_codes(
+                arrays, t_srt, s_srt, w_vecs, ok2, params=params
+            )
+            write_plan = None
+    else:
+        write_plan = None
 
     # --- refresh target list (sequential/parity path only: compacted
     # lists shuffle slot positions, so every CHANGED target re-encodes its
@@ -971,7 +986,32 @@ def insert_step(
     else:
         refresh_t = jnp.full_like(tgt_s, -1)
         refresh_f = jnp.full_like(t_fs, -1)
-    return arrays, refresh_t, refresh_f
+    return arrays, refresh_t, refresh_f, write_plan
+
+
+@functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def apply_edge_writes(
+    arrays: GraphArrays,
+    tgts: jnp.ndarray,  # i32[P] deduplicated write plan (insert_step)
+    slots: jnp.ndarray,  # i32[P]
+    cands: jnp.ndarray,  # i32[P] candidate (source) slots
+    ok: jnp.ndarray,  # bool[P]
+    *,
+    params: GraphParams,
+) -> GraphArrays:
+    """The deferred single-edge code writes as their own donated program:
+    donation guarantees the multi-GB edge-code scatters alias in place
+    (fused into insert_step at 1M scale, XLA materialized a temp copy and
+    overflowed HBM by ~263 MB)."""
+    vecs = arrays.vectors[jnp.maximum(cands, 0)].astype(jnp.float32)
+    return write_single_edge_codes(
+        arrays, tgts, slots, vecs, ok, params=params
+    )
+
+
+apply_edge_writes_nodonate = jax.jit(
+    apply_edge_writes.__wrapped__, static_argnames=("params",)
+)
 
 
 @functools.partial(
@@ -989,7 +1029,7 @@ def insert_step_fused(
     full_visited: bool,
     recip_rounds: int,
     all_valid: bool = False,
-) -> GraphArrays:
+):
     """insert_step + the deferred edge-code refresh chunks as ONE device
     program (the construction _global_insert_step already uses per shard).
     On the tunneled single-chip backend each dispatch costs ~20-25 ms of
@@ -999,7 +1039,7 @@ def insert_step_fused(
     working set stays bounded; XLA aliases the donated arrays through the
     chain. Graph results are identical to the unfused path (same ops, same
     order)."""
-    arrays, refresh_t, refresh_f = insert_step.__wrapped__(
+    arrays, refresh_t, refresh_f, write_plan = insert_step.__wrapped__(
         arrays,
         new_slots,
         new_vecs,
@@ -1008,6 +1048,10 @@ def insert_step_fused(
         full_visited=full_visited,
         recip_rounds=recip_rounds,
         all_valid=all_valid,
+        # Batched: the single-edge code writes run as their OWN donated
+        # dispatch (apply_edge_writes) — fusing them here overflowed HBM
+        # at the 1M headline shape (unaliased scatter temp copies).
+        defer_edge_writes=not full_visited,
     )
     CH = _pair_chunk(refresh_t.shape[0], params.r, params.dims)
     for off in range(0, refresh_t.shape[0], CH):
@@ -1022,12 +1066,13 @@ def insert_step_fused(
             lambda a: a,
             arrays,
         )
-    return jax.lax.cond(
+    arrays = jax.lax.cond(
         jnp.any(refresh_f >= 0),
         lambda a: refresh_edge_codes.__wrapped__(a, refresh_f, params=params),
         lambda a: a,
         arrays,
     )
+    return arrays, write_plan
 
 
 @functools.partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
@@ -1103,7 +1148,7 @@ def insert_batch(
             # One device program per batch: insert + refresh chunks fused
             # (removes ~3-5 per-batch dispatches' fixed overhead on the
             # tunneled backend). Identical graph results.
-            arrays = insert_step_fused(
+            arrays, write_plan = insert_step_fused(
                 arrays,
                 new_slots_d,
                 new_vecs_d,
@@ -1113,12 +1158,19 @@ def insert_batch(
                 recip_rounds=1 if full else _RECIP_ROUNDS,
                 all_valid=all_valid,
             )
+            if write_plan is not None:
+                arrays = apply_edge_writes(
+                    arrays, *write_plan, params=params
+                )
             return arrays
         step_fn = insert_step if donate else insert_step_nodonate
         refresh_fn = (
             refresh_edge_codes if donate else refresh_edge_codes_nodonate
         )
-        arrays, refresh_t, refresh_f = step_fn(
+        write_fn = (
+            apply_edge_writes if donate else apply_edge_writes_nodonate
+        )
+        arrays, refresh_t, refresh_f, write_plan = step_fn(
             arrays,
             new_slots_d,
             new_vecs_d,
@@ -1127,7 +1179,10 @@ def insert_batch(
             full_visited=full,
             recip_rounds=1 if full else _RECIP_ROUNDS,
             all_valid=all_valid,
+            defer_edge_writes=not full,
         )
+        if write_plan is not None:
+            arrays = write_fn(arrays, *write_plan, params=params)
         # Deferred edge-code refresh, in bounded chunks (still zero host
         # syncs: chunk boundaries are static, slices stay on device; each
         # call donates arrays so the update chain is in-place).
@@ -1169,7 +1224,10 @@ rescue_orphans_round_nodonate = jax.jit(
 )
 insert_step_nodonate = jax.jit(
     insert_step.__wrapped__,
-    static_argnames=("params", "full_visited", "recip_rounds", "all_valid"),
+    static_argnames=(
+        "params", "full_visited", "recip_rounds", "all_valid",
+        "defer_edge_writes",
+    ),
 )
 refresh_edge_codes_nodonate = jax.jit(
     refresh_edge_codes.__wrapped__, static_argnames=("params",)

@@ -316,7 +316,7 @@ def _global_insert_step(
 
     def shard_fn(arrays, new_slots, new_vecs, entry_slot):
         local = GraphArrays(*(PsumRows(a[0]) for a in arrays))
-        out, refresh_t, refresh_f = insert_step.__wrapped__(
+        out, refresh_t, refresh_f, _ = insert_step.__wrapped__(
             local,
             new_slots,
             new_vecs,

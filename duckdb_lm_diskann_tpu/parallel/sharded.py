@@ -380,7 +380,7 @@ def insert_batch_device(
     orphan in-link guarantee) entirely on device, so the multi-chip
     'training step' and the host build are the same algorithm.
     """
-    arrays, refresh_t, refresh_f = builder.insert_step(
+    arrays, refresh_t, refresh_f, _ = builder.insert_step(
         arrays,
         new_slots,
         new_vecs,
@@ -388,6 +388,10 @@ def insert_batch_device(
         params=params,
         full_visited=False,
         recip_rounds=builder._RECIP_ROUNDS,
+        # inline single-edge code writes (per-shard arrays are 1/S-sized,
+        # so the aliasing headroom concern of the 1M single-chip fused
+        # program does not apply here)
+        defer_edge_writes=False,
     )
     arrays = builder.refresh_edge_codes(arrays, refresh_t, params=params)
     return builder.refresh_edge_codes(arrays, refresh_f, params=params)
