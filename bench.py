@@ -793,11 +793,12 @@ def main() -> None:
             n=n2, dims=960, metric="cosine", edge_type="ternary",
             l_search=128, k=10, batch=256, n_queries=1024, width=width,
             seed=0x61577, ab=False, sweep_ls=(), lanes=256,
-            # 960d: the batched prune gathers [T, 256, 960] f32 candidate
-            # vectors (~1.9 GB at T=2048) on top of ~9.8 GB of persistent
-            # index state at 500k — T=1024 keeps the transient under
-            # ~1 GB (docs/SCALING.md memory table).
-            max_batch=1024,
+            # 960d at 500k: R=64 ternary planes are 9.8 GB persistent and
+            # the build OOM'd a 16 GB chip once transients stacked; R=48
+            # (8.1 GB) fits with headroom. The batched prune still gathers
+            # [T, 256, 960] f32 candidates (~1 GB at T=1024) so the build
+            # batch stays at 1024 (docs/SCALING.md memory table).
+            r=48, max_batch=1024,
         )),
     ]
     for key, n_cfg, kwargs in secondaries:
