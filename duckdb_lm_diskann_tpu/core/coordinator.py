@@ -260,6 +260,15 @@ class Coordinator:
                 # (XLA compiles synchronously at dispatch), ~dispatch cost
                 # otherwise. bench.py splits build time into compile vs
                 # steady-state from this log.
+                if self._pad_bulk:
+                    # Fence the dispatch queue with a 4-byte host pull.
+                    # Bulk batches are TWO donated programs (insert_step_
+                    # fused + apply_edge_writes); letting the host queue
+                    # hundreds of alternating executions ahead measured a
+                    # 9x device-side slowdown on the tunneled backend
+                    # (262k@1M-capacity: 971 s queued vs 107 s fenced).
+                    # The fence costs ~ms against ~0.5 s of batch work.
+                    np.asarray(self.arrays.neighbors[0, :1])
                 self.build_timings.append((step, time.perf_counter() - t0))
                 if len(self.build_timings) > 8192:
                     del self.build_timings[:4096]
