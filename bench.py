@@ -765,7 +765,7 @@ def main() -> None:
     # Secondary configs in priority order; each is budget-gated, fault-
     # isolated, and re-emits the updated summary on completion.
     n4 = int(os.environ.get("BENCH_N4", 100_000))
-    n2 = int(os.environ.get("BENCH_N2", 500_000))
+    n2 = int(os.environ.get("BENCH_N2", 262_144))
     n3 = int(os.environ.get("BENCH_N3", 1_000_000))
     do_refine = os.environ.get("BENCH_REFINE", "1") != "0"
     secondaries = [
@@ -793,12 +793,16 @@ def main() -> None:
             n=n2, dims=960, metric="cosine", edge_type="ternary",
             l_search=128, k=10, batch=256, n_queries=1024, width=width,
             seed=0x61577, ab=False, sweep_ls=(), lanes=256,
-            # 960d at 500k: R=64 ternary planes are 9.8 GB persistent and
-            # the build OOM'd a 16 GB chip once transients stacked; R=48
-            # (8.1 GB) fits with headroom. The batched prune still gathers
-            # [T, 256, 960] f32 candidates (~1 GB at T=1024) so the build
-            # batch stays at 1024 (docs/SCALING.md memory table).
-            r=48, max_batch=1024,
+            # Largest single-chip 960d fit with f32 nodes + R=64 ternary
+            # edges: arrays are POW2-capacity sized, and the next bucket
+            # (524288 slots = ~10 GB of graph state) measured
+            # RESOURCE_EXHAUSTED once the build's [T, 256, 960] prune
+            # transients stacked on top (R=48 as an alternative crashes
+            # the sandbox's remote compile helper outright). 262144 slots
+            # = ~5 GB persistent, comfortable. INT8 node vectors would
+            # halve the vector term but collapse tight-margin recall
+            # (benchmarks/NOTES.md round 5 INT8 A/B).
+            max_batch=1024,
         )),
     ]
     for key, n_cfg, kwargs in secondaries:
